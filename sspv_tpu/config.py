@@ -1,0 +1,208 @@
+#!/usr/bin/env python3
+"""System configuration.
+
+Single static class holding every tunable of the speech front-end, with the
+same attribute names, defaults, and override layers (env vars with ``RTP_``
+prefix, optional YAML) as the reference implementation
+(``/root/reference/real_time_voice_processing/config.py:24-252``).
+
+The attribute surface is part of the compatibility contract: downstream code
+reads ``Config.SAMPLE_RATE``, ``Config.ENERGY_THRESHOLD`` etc. directly.
+
+TPU-specific additions live in a clearly separated block at the bottom
+(``TPU_*`` attributes) so the reference surface stays byte-identical.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+# paInt16 == 8 in PyAudio; fall back to the numeric constant when PyAudio is
+# not installed (reference: config.py:18-22).
+try:  # pragma: no cover - depends on environment
+    import pyaudio as _pyaudio  # type: ignore
+
+    _AUDIO_FORMAT_DEFAULT = _pyaudio.paInt16
+except Exception:  # pragma: no cover
+    _AUDIO_FORMAT_DEFAULT = 8
+
+
+class Config:
+    """Static configuration for the speech signal-processing system.
+
+    Mirrors the reference ``Config`` (config.py:24-136) attribute-for-attribute.
+    """
+
+    # --- audio capture -----------------------------------------------------
+    AUDIO_FORMAT = _AUDIO_FORMAT_DEFAULT  # pyaudio.paInt16
+    CHANNELS = 1
+    SAMPLE_RATE = 16000  # Hz, standard speech sample rate
+    CHUNK_SIZE = 1024  # samples per device read
+    FRAME_DURATION = 20  # ms
+    FRAME_SIZE = int(SAMPLE_RATE * FRAME_DURATION / 1000)  # 320 samples
+    HOP_SIZE = FRAME_SIZE // 2  # 160 samples, 50% overlap
+
+    # --- signal processing -------------------------------------------------
+    WINDOW_TYPE = "hamming"  # "hamming" | "hanning" | "rectangular"
+    PREEMPHASIS_ALPHA = 0.97
+
+    # --- frequency-domain features ----------------------------------------
+    NUM_MFCC = 13
+    MFCC_N_FFT = 512
+    MEL_FILTERS = 26
+    MFCC_LIFTER = 22
+    SPECTRAL_ENTROPY_N_FFT = 512
+
+    # --- voice-activity detection ------------------------------------------
+    ENERGY_THRESHOLD = 1000  # fixed-threshold VAD energy gate
+    ZCR_THRESHOLD = 0.3  # voiced frames have LOW zcr (config.py:106)
+
+    # adaptive-VAD legacy/compat parameters (config.py:109-111)
+    ADAPTIVE_VAD_HISTORY_MIN = 20
+    ADAPTIVE_VAD_ENERGY_K = 3.0
+    ADAPTIVE_VAD_ZCR_K = 1.0
+    # composite VAD gating and smoothing (config.py:113-116)
+    USE_ADAPTIVE_VAD = True
+    SPECTRAL_ENTROPY_VOICE_MAX = 0.65  # entropy below this suggests voice
+    VAD_HANGOVER_ON = 3  # frames to hold after voice onset
+    VAD_RELEASE_OFF = 2  # consecutive silent frames needed to release
+
+    # --- visualization ------------------------------------------------------
+    PLOT_UPDATE_INTERVAL = 50  # ms
+    MAX_DISPLAY_FRAMES = 100
+    WAVEFORM_DISPLAY_LENGTH = 4096
+
+    # --- buffering ----------------------------------------------------------
+    AUDIO_BUFFER_SIZE = 4  # chunks
+    PROCESSED_DATA_BUFFER_SIZE = 100  # frames
+
+    # --- threading ----------------------------------------------------------
+    THREAD_SLEEP_TIME = 0.001  # s
+
+    # --- persistence --------------------------------------------------------
+    SAVE_DIRECTORY = "."
+
+    # --- logging ------------------------------------------------------------
+    LOG_LEVEL = "INFO"
+    LOG_FORMAT = "[%(asctime)s] %(levelname)s %(name)s: %(message)s"
+    LOG_DATEFMT = "%H:%M:%S"
+
+    # ------------------------------------------------------------------
+    # TPU-native additions (not part of the reference surface)
+    # ------------------------------------------------------------------
+    # History window for the adaptive-VAD trailing mean; the reference uses
+    # deque(maxlen=256) (engine.py:96-97).
+    VAD_HISTORY_LEN = 256
+    # Frame-block bucket sizes used by the streaming engine so jit sees a
+    # small, fixed set of shapes (see runtime/streaming.py).
+    TPU_STREAM_BUCKETS = (8, 32, 128, 512, 2048)
+    # Use the fused Pallas kernel on the offline batch path when available.
+    TPU_USE_PALLAS = True
+
+    @staticmethod
+    def setup_logging() -> None:
+        """Initialise stdlib logging (reference: config.py:138-148)."""
+        level = getattr(logging, str(Config.LOG_LEVEL).upper(), logging.INFO)
+        logging.basicConfig(
+            level=level, format=Config.LOG_FORMAT, datefmt=Config.LOG_DATEFMT
+        )
+
+    @staticmethod
+    def print_config() -> None:
+        """Log the key configuration values (reference: config.py:150-185)."""
+        logging.info("%s", "=" * 50)
+        logging.info("Real-time speech signal processing (TPU) - configuration")
+        logging.info("%s", "=" * 50)
+        logging.info("audio format: %s (paInt16)", Config.AUDIO_FORMAT)
+        logging.info("channels: %d", Config.CHANNELS)
+        logging.info("sample rate: %d Hz", Config.SAMPLE_RATE)
+        logging.info("chunk size: %d", Config.CHUNK_SIZE)
+        logging.info(
+            "frame: %d samples (%dms), hop: %d samples",
+            Config.FRAME_SIZE,
+            Config.FRAME_DURATION,
+            Config.HOP_SIZE,
+        )
+        logging.info("window: %s", Config.WINDOW_TYPE)
+        logging.info("pre-emphasis alpha: %.2f", Config.PREEMPHASIS_ALPHA)
+        logging.info(
+            "MFCC: num=%d, n_fft=%d, mel_filters=%d, lifter=%d",
+            Config.NUM_MFCC,
+            Config.MFCC_N_FFT,
+            Config.MEL_FILTERS,
+            Config.MFCC_LIFTER,
+        )
+        logging.info("spectral entropy n_fft: %d", Config.SPECTRAL_ENTROPY_N_FFT)
+        logging.info("energy threshold: %.2f", Config.ENERGY_THRESHOLD)
+        logging.info("zcr threshold: %.3f", Config.ZCR_THRESHOLD)
+        logging.info(
+            "adaptive VAD: history_min=%d, energy_k=%.2f, zcr_k=%.2f",
+            Config.ADAPTIVE_VAD_HISTORY_MIN,
+            Config.ADAPTIVE_VAD_ENERGY_K,
+            Config.ADAPTIVE_VAD_ZCR_K,
+        )
+
+    @staticmethod
+    def load_from_env(prefix: str = "RTP_") -> None:
+        """Override attributes from environment variables.
+
+        Naming convention: ``<prefix><UPPER_NAME>`` (e.g. ``RTP_SAMPLE_RATE``).
+        Values are cast against the current attribute's type; bools accept
+        1/true/yes/on (reference: config.py:187-216).
+        """
+        for name, value in os.environ.items():
+            if not name.startswith(prefix):
+                continue
+            key = name[len(prefix):]
+            if not hasattr(Config, key):
+                continue
+            current = getattr(Config, key)
+            try:
+                casted: object
+                if isinstance(current, bool):
+                    casted = value.lower() in {"1", "true", "yes", "on"}
+                elif isinstance(current, int):
+                    casted = int(value)
+                elif isinstance(current, float):
+                    casted = float(value)
+                else:
+                    casted = value
+                setattr(Config, key, casted)
+            except Exception:
+                logging.warning(
+                    "env var %s=%s failed to cast; keeping default", name, value
+                )
+
+    @staticmethod
+    def load_from_yaml(path: str) -> bool:
+        """Override attributes from a YAML mapping file.
+
+        Returns True on success (reference: config.py:218-252). Requires
+        ``pyyaml``; logs and returns False when it is unavailable.
+        """
+        try:
+            import yaml  # type: ignore
+        except Exception:  # pragma: no cover
+            logging.warning("pyyaml not installed; skipping YAML config: %s", path)
+            return False
+
+        try:
+            with open(path, "r", encoding="utf-8") as f:
+                data = yaml.safe_load(f) or {}
+            if not isinstance(data, dict):
+                logging.warning("YAML config must be a mapping; ignoring: %s", path)
+                return False
+            for key, value in data.items():
+                if hasattr(Config, key):
+                    setattr(Config, key, value)
+            logging.info("loaded config from YAML: %s", path)
+            return True
+        except Exception as e:
+            logging.error("failed to load YAML config: %s (%s)", path, e)
+            return False
+
+
+if __name__ == "__main__":
+    Config.setup_logging()
+    Config.print_config()

@@ -1,0 +1,304 @@
+#!/usr/bin/env python3
+"""The fused frame→features→VAD pipeline.
+
+This is the TPU-native replacement for the reference engine's inner per-frame
+Python loop (engine.py:240-311): instead of dispatching one 512-pt FFT, one
+mel matvec and one DCT per 10 ms frame through Python, whole blocks of frames
+are processed in a single jitted (optionally Pallas-fused) computation:
+
+    raw frames (F, frame_size) f32
+      -> window multiply
+      -> short-time energy, zero-crossing rate           (VPU, elementwise)
+      -> power spectrum via windowed-DFT matmul or rFFT  (MXU)
+      -> mel filterbank matmul -> log -> DCT matmul      (MXU)
+      -> spectral entropy from the shared spectrum       (VPU)
+      -> composite VAD as parallel prefix ops            (ops/vad.py)
+
+All constants (window, windowed DFT bases, mel filterbank, DCT, lifter) are
+precomputed host-side (ops/bases.py) exactly like the reference precomputes
+its window once (engine.py:83).
+
+`FeaturePipeline` carries the configuration and the jitted callables;
+`FeaturePipeline.process_block` is the streaming workhorse (carried VadState,
+bucketed shapes), `process_signal` the offline batch API.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bases, vad as vad_ops
+from .preprocessing import frame_signal
+from .frequency_features import entropy_from_power
+
+__all__ = ["FeatureConfig", "FeatureBlock", "FeaturePipeline"]
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class FeatureConfig(NamedTuple):
+    """Static configuration snapshot for one pipeline instance."""
+
+    sample_rate: int = 16000
+    frame_size: int = 320
+    hop_size: int = 160
+    window_type: str = "hamming"
+    n_fft: int = 512
+    entropy_n_fft: int = 512
+    num_filters: int = 26
+    num_ceps: int = 13
+    lifter: int = 22
+    energy_threshold: float = 1000.0
+    zcr_threshold: float = 0.3
+    entropy_voice_max: float = 0.65
+    use_adaptive_vad: bool = True
+    adaptive_alpha: float = 3.0  # engine passes ADAPTIVE_VAD_ENERGY_K; clamped to 0.99
+    hangover_on: int = 3
+    release_off: int = 2
+    history_len: int = 256
+    use_pallas: bool = True
+
+    @classmethod
+    def from_config(cls, config=None) -> "FeatureConfig":
+        from ..config import Config
+
+        c = config or Config
+        return cls(
+            sample_rate=int(c.SAMPLE_RATE),
+            frame_size=int(c.FRAME_SIZE),
+            hop_size=int(c.HOP_SIZE),
+            window_type=str(c.WINDOW_TYPE),
+            n_fft=int(c.MFCC_N_FFT),
+            entropy_n_fft=int(c.SPECTRAL_ENTROPY_N_FFT),
+            num_filters=int(c.MEL_FILTERS),
+            num_ceps=int(c.NUM_MFCC),
+            lifter=int(c.MFCC_LIFTER),
+            energy_threshold=float(c.ENERGY_THRESHOLD),
+            zcr_threshold=float(c.ZCR_THRESHOLD),
+            entropy_voice_max=float(c.SPECTRAL_ENTROPY_VOICE_MAX),
+            use_adaptive_vad=bool(c.USE_ADAPTIVE_VAD),
+            adaptive_alpha=float(c.ADAPTIVE_VAD_ENERGY_K),
+            hangover_on=int(c.VAD_HANGOVER_ON),
+            release_off=int(c.VAD_RELEASE_OFF),
+            history_len=int(getattr(c, "VAD_HISTORY_LEN", 256)),
+            use_pallas=bool(getattr(c, "TPU_USE_PALLAS", True)),
+        )
+
+
+class FeatureBlock(NamedTuple):
+    """Per-frame outputs of one processed block (device arrays)."""
+
+    energy: jnp.ndarray  # (F,) f32
+    zcr: jnp.ndarray  # (F,) f32
+    entropy: jnp.ndarray  # (F,) f32
+    mfcc: jnp.ndarray  # (F, num_ceps) f32
+    vad: jnp.ndarray  # (F,) i32 smoothed composite decision
+    vad_adaptive: jnp.ndarray  # (F,) i32
+
+
+def _pallas_available() -> bool:
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend == "tpu"
+
+
+class FeaturePipeline:
+    """Configured, jit-compiled frame→feature→VAD pipeline."""
+
+    def __init__(self, cfg: FeatureConfig | None = None):
+        self.cfg = cfg or FeatureConfig()
+        c = self.cfg
+        from .windows import get_window
+
+        self._window = get_window(c.window_type, c.frame_size)
+        self._wc, self._ws = bases.windowed_dft_bases(
+            c.frame_size, c.n_fft, c.window_type
+        )
+        if c.entropy_n_fft != c.n_fft:
+            self._wc_ent, self._ws_ent = bases.windowed_dft_bases(
+                c.frame_size, c.entropy_n_fft, c.window_type
+            )
+        else:
+            self._wc_ent = self._ws_ent = None
+        self._fb_t = bases.mel_filterbank_np(
+            c.num_filters, c.n_fft, c.sample_rate
+        ).T.copy()  # (n_bins, num_filters)
+        self._dct = bases.dct_ortho_matrix(c.num_filters, c.num_ceps)
+        self._lifter = bases.lifter_vector(c.num_ceps, c.lifter)
+
+        self._use_pallas = bool(c.use_pallas) and _pallas_available()
+        self._features_jit = jax.jit(self._features)
+        self._block_jit = jax.jit(self._process_block_impl)
+
+    # -- core feature computation (traced) ---------------------------------
+
+    def _power_spectrum(self, frames: jnp.ndarray, which: str = "mfcc") -> jnp.ndarray:
+        """Windowed power spectrum from RAW frames via the DFT matmul pair."""
+        if which == "entropy" and self._wc_ent is not None:
+            wc, ws = self._wc_ent, self._ws_ent
+        else:
+            wc, ws = self._wc, self._ws
+        re = jnp.matmul(frames, jnp.asarray(wc), precision=_HIGHEST,
+                        preferred_element_type=jnp.float32)
+        im = jnp.matmul(frames, jnp.asarray(ws), precision=_HIGHEST,
+                        preferred_element_type=jnp.float32)
+        return re * re + im * im
+
+    def _features(self, frames_raw: jnp.ndarray) -> dict:
+        """Per-frame features from raw (unwindowed) frames, one fused trace."""
+        c = self.cfg
+        x = jnp.asarray(frames_raw, dtype=jnp.float32)
+        if self._use_pallas and x.shape[0] >= 8:
+            from .pallas_kernels import fused_features
+
+            return fused_features(
+                x,
+                wc=self._wc,
+                ws=self._ws,
+                fb_t=self._fb_t,
+                dct=self._dct,
+                lifter=self._lifter,
+                window=self._window,
+                entropy_bases=(self._wc_ent, self._ws_ent),
+            )
+        w = jnp.asarray(self._window)
+        windowed = x * w
+        energy = jnp.sum(windowed * windowed, axis=-1)
+        signs = jnp.sign(windowed)
+        crossings = jnp.sum(jnp.abs(jnp.diff(signs, axis=-1)) > 0, axis=-1)
+        zcr = crossings.astype(jnp.float32) / jnp.float32(c.frame_size)
+
+        power = self._power_spectrum(x, "mfcc")
+        mel = jnp.maximum(
+            jnp.matmul(power, jnp.asarray(self._fb_t), precision=_HIGHEST,
+                       preferred_element_type=jnp.float32),
+            jnp.float32(1e-10),
+        )
+        mfcc = jnp.matmul(jnp.log(mel), jnp.asarray(self._dct), precision=_HIGHEST,
+                          preferred_element_type=jnp.float32)
+        mfcc = mfcc * jnp.asarray(self._lifter)
+
+        if self._wc_ent is not None:
+            power_ent = self._power_spectrum(x, "entropy")
+        else:
+            power_ent = power
+        entropy = entropy_from_power(power_ent)
+        return {
+            "energy": energy.astype(jnp.float32),
+            "zcr": zcr,
+            "entropy": entropy,
+            "mfcc": mfcc.astype(jnp.float32),
+        }
+
+    def _process_block_impl(
+        self,
+        frames_raw: jnp.ndarray,
+        state: vad_ops.VadState,
+        valid: jnp.ndarray,
+    ) -> tuple[FeatureBlock, vad_ops.VadState]:
+        c = self.cfg
+        feats = self._features(frames_raw)
+        vad, vad_adaptive, new_state = vad_ops.streaming_vad(
+            feats["energy"],
+            feats["zcr"],
+            feats["entropy"],
+            state,
+            energy_threshold=c.energy_threshold,
+            zcr_threshold=c.zcr_threshold,
+            entropy_voice_max=c.entropy_voice_max,
+            use_adaptive=c.use_adaptive_vad,
+            adaptive_alpha=c.adaptive_alpha,
+            hangover_on=c.hangover_on,
+            release_off=c.release_off,
+            history_len=c.history_len,
+            valid=valid,
+        )
+        block = FeatureBlock(
+            energy=feats["energy"],
+            zcr=feats["zcr"],
+            entropy=feats["entropy"],
+            mfcc=feats["mfcc"],
+            vad=vad,
+            vad_adaptive=vad_adaptive,
+        )
+        return block, new_state
+
+    # -- public API ----------------------------------------------------------
+
+    def initial_state(self) -> vad_ops.VadState:
+        return vad_ops.initial_vad_state(self.cfg.history_len, self.cfg.hangover_on)
+
+    def features(self, frames_raw) -> dict:
+        """Jitted per-frame features for raw ``(F, frame_size)`` frames."""
+        return self._features_jit(jnp.asarray(frames_raw, dtype=jnp.float32))
+
+    def process_block(
+        self, frames_raw, state: vad_ops.VadState, valid=None
+    ) -> tuple[FeatureBlock, vad_ops.VadState]:
+        """Process one streaming block of raw frames with carried VAD state.
+
+        ``valid`` may mark a padded tail (bucketed shapes); defaults to all
+        frames valid.
+        """
+        f = frames_raw.shape[0]
+        if valid is None:
+            valid = jnp.ones((f,), dtype=bool)
+        return self._block_jit(
+            jnp.asarray(frames_raw, dtype=jnp.float32), state, valid
+        )
+
+    def stream_frames(self, samples: np.ndarray) -> np.ndarray:
+        """Streaming-style framing: only full frames, no tail padding
+        (engine.py:240-242 semantics). Returns raw float32 frames."""
+        c = self.cfg
+        n = len(samples)
+        if n < c.frame_size:
+            return np.zeros((0, c.frame_size), dtype=np.float32)
+        f = 1 + (n - c.frame_size) // c.hop_size
+        idx = (
+            np.arange(c.frame_size)[None, :]
+            + np.arange(f)[:, None] * c.hop_size
+        )
+        return np.asarray(samples, dtype=np.float32)[idx]
+
+    def process_signal(
+        self, signal, state: vad_ops.VadState | None = None, pad_tail: bool = False
+    ) -> tuple[FeatureBlock, vad_ops.VadState]:
+        """Offline batch path: frame a whole 1-D signal and process it as one
+        block. ``pad_tail=True`` uses the batch ``framing`` contract
+        (zero-padded tail); False matches the streaming engine (drop tail)."""
+        c = self.cfg
+        sig = np.asarray(signal)
+        if pad_tail:
+            frames = frame_signal(
+                jnp.asarray(sig, dtype=jnp.float32), c.frame_size, c.hop_size
+            )
+        else:
+            frames = self.stream_frames(sig)
+        if state is None:
+            state = self.initial_state()
+        f = int(frames.shape[0])
+        if f == 0:
+            empty = FeatureBlock(
+                energy=jnp.zeros((0,), jnp.float32),
+                zcr=jnp.zeros((0,), jnp.float32),
+                entropy=jnp.zeros((0,), jnp.float32),
+                mfcc=jnp.zeros((0, c.num_ceps), jnp.float32),
+                vad=jnp.zeros((0,), jnp.int32),
+                vad_adaptive=jnp.zeros((0,), jnp.int32),
+            )
+            return empty, state
+        return self.process_block(frames, state)
+
+
+@functools.lru_cache(maxsize=8)
+def default_pipeline(cfg: FeatureConfig | None = None) -> FeaturePipeline:
+    """Shared pipeline instance for a given static config."""
+    return FeaturePipeline(cfg or FeatureConfig())

@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Streaming composite-VAD semantics: the parallel prefix formulation must
+reproduce the reference engine's sequential per-frame automaton exactly —
+one-shot, chunked with carried state, and with bucketed tail padding."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sspv_tpu.ops import vad as vad_ops
+from sspv_tpu.ops.pipeline import FeaturePipeline, FeatureConfig
+
+import oracle
+
+
+def synth_features(n=400, seed=0):
+    """Per-frame features with realistic voiced/silence structure."""
+    rng = np.random.default_rng(seed)
+    voiced = rng.random(n) < 0.35
+    # runs of voice: smear the mask so hangover paths are exercised
+    for i in range(1, n):
+        if voiced[i - 1] and rng.random() < 0.6:
+            voiced[i] = True
+    energy = np.where(voiced, rng.uniform(2e3, 1e7, n), rng.uniform(0, 900, n)).astype(np.float32)
+    zcr = np.where(voiced, rng.uniform(0.01, 0.25, n), rng.uniform(0.2, 0.5, n)).astype(np.float32)
+    entropy = np.where(voiced, rng.uniform(0.2, 0.6, n), rng.uniform(0.6, 1.0, n)).astype(np.float32)
+    return energy, zcr, entropy
+
+
+def test_hangover_parallel_equals_scan():
+    rng = np.random.default_rng(3)
+    for on, off in [(3, 2), (1, 1), (5, 3), (2, 7)]:
+        v = jnp.asarray(rng.random(300) < 0.3)
+        par, _ = vad_ops.hangover_smooth(v, jnp.int32(-(on + 1)), on, off)
+        seq, _ = vad_ops.hangover_smooth_scan(
+            v, jnp.int32(0), jnp.int32(0), on, off
+        )
+        np.testing.assert_array_equal(np.asarray(par), np.asarray(seq), err_msg=f"on={on} off={off}")
+
+
+def test_streaming_vad_matches_engine_oracle():
+    energy, zcr, entropy = synth_features(500)
+    ref = oracle.EngineVadOracle()
+    want_vad, want_adp = ref.run_all(energy, zcr, entropy)
+
+    state = vad_ops.initial_vad_state()
+    got_vad, got_adp, _ = vad_ops.streaming_vad(
+        jnp.asarray(energy), jnp.asarray(zcr), jnp.asarray(entropy), state,
+        energy_threshold=1000.0, zcr_threshold=0.3, entropy_voice_max=0.65,
+        use_adaptive=True, adaptive_alpha=3.0,
+    )
+    np.testing.assert_array_equal(np.asarray(got_adp), want_adp)
+    np.testing.assert_array_equal(np.asarray(got_vad), want_vad)
+
+
+def test_streaming_vad_chunked_equals_oneshot():
+    energy, zcr, entropy = synth_features(600, seed=7)
+    kwargs = dict(
+        energy_threshold=1000.0, zcr_threshold=0.3, entropy_voice_max=0.65,
+        use_adaptive=True, adaptive_alpha=3.0,
+    )
+    state = vad_ops.initial_vad_state()
+    one_vad, one_adp, _ = vad_ops.streaming_vad(
+        jnp.asarray(energy), jnp.asarray(zcr), jnp.asarray(entropy), state, **kwargs
+    )
+    # history window (256) straddles chunk boundaries of every size here
+    for sizes in [[600], [100] * 6, [7, 250, 343], [1] * 20 + [580]]:
+        state = vad_ops.initial_vad_state()
+        outs_v, outs_a = [], []
+        pos = 0
+        for s in sizes:
+            v, a, state = vad_ops.streaming_vad(
+                jnp.asarray(energy[pos:pos + s]),
+                jnp.asarray(zcr[pos:pos + s]),
+                jnp.asarray(entropy[pos:pos + s]),
+                state, **kwargs,
+            )
+            outs_v.append(np.asarray(v))
+            outs_a.append(np.asarray(a))
+            pos += s
+        np.testing.assert_array_equal(np.concatenate(outs_v), np.asarray(one_vad), err_msg=str(sizes))
+        np.testing.assert_array_equal(np.concatenate(outs_a), np.asarray(one_adp))
+
+
+def test_streaming_vad_padded_tail_equals_unpadded():
+    energy, zcr, entropy = synth_features(300, seed=11)
+    kwargs = dict(
+        energy_threshold=1000.0, zcr_threshold=0.3, entropy_voice_max=0.65,
+        use_adaptive=True, adaptive_alpha=3.0,
+    )
+    state = vad_ops.initial_vad_state()
+    want_v, want_a, want_state = vad_ops.streaming_vad(
+        jnp.asarray(energy), jnp.asarray(zcr), jnp.asarray(entropy), state, **kwargs
+    )
+    # process in two bucketed blocks with padded tails
+    state = vad_ops.initial_vad_state()
+    split = 137
+    got_v, got_a = [], []
+    for lo, hi, bucket in [(0, split, 160), (split, 300, 256)]:
+        n = hi - lo
+        pad = bucket - n
+        e = np.pad(energy[lo:hi], (0, pad))
+        z = np.pad(zcr[lo:hi], (0, pad))
+        h = np.pad(entropy[lo:hi], (0, pad))
+        valid = np.arange(bucket) < n
+        v, a, state = vad_ops.streaming_vad(
+            jnp.asarray(e), jnp.asarray(z), jnp.asarray(h), state,
+            valid=jnp.asarray(valid), **kwargs,
+        )
+        got_v.append(np.asarray(v)[:n])
+        got_a.append(np.asarray(a)[:n])
+    np.testing.assert_array_equal(np.concatenate(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.concatenate(got_a), np.asarray(want_a))
+    # carried state must match the unpadded run
+    np.testing.assert_allclose(
+        np.asarray(state.energy_buf), np.asarray(want_state.energy_buf)
+    )
+    assert int(state.count) == int(want_state.count)
+    assert int(state.last_voiced) == int(want_state.last_voiced)
+
+
+def test_full_pipeline_signal_matches_sequential_oracle():
+    """End-to-end: synthesize a signal, run the fused pipeline, and compare
+    the smoothed VAD stream against a frame-by-frame oracle using oracle
+    features (demo.py-style silence→tone→noise→silence layout)."""
+    rng = np.random.default_rng(5)
+    sr = 16000
+    t = np.arange(sr) / sr
+    sig = np.zeros_like(t, dtype=np.float32)
+    tone = (np.sin(2 * np.pi * 150 * t) * 6000).astype(np.float32)
+    sig[4000:8000] = tone[4000:8000]
+    sig[8000:12000] = rng.normal(0, 2000, 4000).astype(np.float32)
+
+    pipe = FeaturePipeline(FeatureConfig())
+    block, _ = pipe.process_signal(sig)
+
+    w = oracle.hamming(320)
+    raw = pipe.stream_frames(sig)
+    windowed = (raw * w).astype(np.float32)
+    e = oracle.short_time_energy(windowed)
+    z = oracle.zero_crossing_rate(windowed)
+    h = oracle.spectral_entropy(windowed, 512)
+    ref = oracle.EngineVadOracle()
+    want_vad, want_adp = ref.run_all(e, z, h)
+
+    np.testing.assert_array_equal(np.asarray(block.vad), want_vad)
+    np.testing.assert_array_equal(np.asarray(block.vad_adaptive), want_adp)
