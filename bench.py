@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Benchmark: audio-seconds/sec/chip for the full 16 kHz frame→MFCC→VAD
+pipeline, plus normalized feature MSE vs the NumPy/SciPy reference formulas.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Baseline target (BASELINE.md): >=1000x real-time per chip at <=1e-5 feature
+MSE (normalized per feature: MSE / mean-square of the reference value).
+
+Methodology: a long synthetic speech-like signal is placed in device memory
+once (a steady-state streaming engine keeps transfers off the critical path
+via double buffering); the timed region is the complete jitted pipeline —
+on-device framing, windowed spectrum, mel/DCT matmuls, entropy, adaptive VAD
+with trailing history, hangover smoothing — i.e. everything the reference's
+per-frame loop does (engine.py:240-311), batched.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def synth_signal(seconds: float, sr: int = 16000, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    sig = rng.normal(0, 40, n)
+    # alternating 0.5 s voiced (harmonic) / unvoiced (noise) segments
+    seg = ((t * 2).astype(int) % 4)
+    voiced = seg == 1
+    noise = seg == 2
+    sig = np.where(voiced, 6000 * np.sin(2 * np.pi * 130 * t) + 2000 * np.sin(2 * np.pi * 260 * t), sig)
+    sig = np.where(noise, rng.normal(0, 2000, n), sig)
+    return sig.astype(np.float32)
+
+
+def _enable_compile_cache() -> None:
+    """Persistent compilation cache: first-compile through the remote-compile
+    tunnel is minutes; cached reloads are seconds. The cache directory lives
+    next to the repo so driver runs reuse compiles from dev runs."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
+
+    seconds = 600.0
+    sr = 16000
+    sig_np = synth_signal(seconds, sr)
+
+    pipe = FeaturePipeline(FeatureConfig())
+    sig = jax.device_put(jnp.asarray(sig_np))
+    state0 = pipe.initial_state()
+
+    # warm-up / compile
+    block, _ = pipe.process_signal_device(sig, state0)
+    jax.block_until_ready(block)
+
+    reps = 5
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        block, _ = pipe.process_signal_device(sig, state0)
+        jax.block_until_ready(block)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    audio_sec_per_sec = seconds / best
+
+    # parity: normalized MSE vs the NumPy oracle on a 30 s slice
+    check_s = 30
+    sub = sig_np[: check_s * sr]
+    want = _oracle_features(sub)
+    got_block, _ = pipe.process_signal(sub)
+    mses = {
+        "energy": _nmse(got_block.energy, want["energy"]),
+        "zcr": _nmse(got_block.zcr, want["zcr"]),
+        "entropy": _nmse(got_block.entropy, want["entropy"]),
+        "mfcc": _nmse(got_block.mfcc, want["mfcc"]),
+    }
+    max_mse = max(mses.values())
+
+    print(
+        json.dumps(
+            {
+                "metric": "audio_seconds_per_sec_per_chip_frame_mfcc_vad",
+                "value": round(audio_sec_per_sec, 1),
+                "unit": "audio-s/s/chip",
+                "vs_baseline": round(audio_sec_per_sec / 1000.0, 3),
+                "realtime_factor": round(audio_sec_per_sec, 1),
+                "feature_nmse_max": float(f"{max_mse:.3e}"),
+                "feature_nmse": {k: float(f"{v:.3e}") for k, v in mses.items()},
+                "frames_per_call": int(np.asarray(block.energy).shape[0]),
+                "best_time_s": round(best, 5),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+def _nmse(got, want) -> float:
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    return float(np.mean((got - want) ** 2) / max(np.mean(want**2), 1e-12))
+
+
+def _oracle_features(sig: np.ndarray) -> dict:
+    """NumPy/SciPy reference-formula features (engine.py per-frame semantics)."""
+    from scipy.fftpack import dct as scipy_dct
+
+    frame, hop, sr = 320, 160, 16000
+    n = 1 + (len(sig) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+    w = (0.54 - 0.46 * np.cos(2 * np.pi * np.arange(frame) / (frame - 1))).astype(np.float32)
+    frames = sig[idx].astype(np.float32) * w
+    energy = np.sum(frames**2, axis=1)
+    signs = np.sign(frames)
+    zcr = np.sum(np.abs(np.diff(signs, axis=1)) > 0, axis=1) / frame
+
+    spec = np.abs(np.fft.rfft(frames, n=512)) ** 2
+    # mel filterbank (frequency_features.py:47-105 semantics)
+    m = lambda f: 2595 * np.log10(1 + np.asarray(f, float) / 700.0)
+    inv = lambda v: 700 * (10 ** (v / 2595.0) - 1)
+    pts = inv(np.linspace(m(0.0), m(sr / 2), 28))
+    bins = np.floor(513 * pts / sr).astype(int)
+    fb = np.zeros((26, 257), np.float32)
+    for i in range(1, 27):
+        lo, c, hi = bins[i - 1], bins[i], bins[i + 1]
+        if c == lo:
+            c += 1
+        if hi == c:
+            hi += 1
+        fb[i - 1, lo:c] = (np.arange(lo, c) - lo) / (c - lo)
+        fb[i - 1, c:hi] = (hi - np.arange(c, hi)) / (hi - c)
+    mel = np.maximum(spec @ fb.T, 1e-10)
+    mfcc = scipy_dct(np.log(mel), type=2, axis=1, norm="ortho")[:, :13]
+    lift = 1.0 + 11.0 * np.sin(np.pi * np.arange(13) / 22.0)
+    mfcc = mfcc * lift
+
+    s = spec.sum(axis=1, keepdims=True)
+    norm = np.divide(spec, s, out=np.zeros_like(spec), where=s > 0)
+    norm = np.maximum(norm, 1e-12)
+    entropy = -np.sum(norm * np.log(norm), axis=1) / np.log(257)
+    return {"energy": energy, "zcr": zcr, "entropy": entropy, "mfcc": mfcc}
+
+
+if __name__ == "__main__":
+    main()

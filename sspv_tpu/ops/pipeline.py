@@ -136,6 +136,7 @@ class FeaturePipeline:
         self._use_pallas = bool(c.use_pallas) and _pallas_available()
         self._features_jit = jax.jit(self._features)
         self._block_jit = jax.jit(self._process_block_impl)
+        self._signal_jit = jax.jit(self._process_signal_impl)
 
     # -- core feature computation (traced) ---------------------------------
 
@@ -230,6 +231,47 @@ class FeaturePipeline:
         )
         return block, new_state
 
+    def _device_stream_frames(self, signal: jnp.ndarray) -> jnp.ndarray:
+        """Streaming-style framing ON DEVICE: only full frames, no padding
+        (engine.py:240-242 semantics), via the strided-reshape fast path so
+        XLA emits copies instead of a gather."""
+        c = self.cfg
+        length = int(signal.shape[0])
+        if length < c.frame_size:
+            return jnp.zeros((0, c.frame_size), dtype=jnp.float32)
+        n = 1 + (length - c.frame_size) // c.hop_size
+        x = jnp.asarray(signal, dtype=jnp.float32)
+        if c.frame_size % c.hop_size == 0:
+            k = c.frame_size // c.hop_size
+            total_hops = n - 1 + k
+            need = total_hops * c.hop_size
+            x = x[:need] if need <= length else jnp.pad(x, (0, need - length))
+            rows = x.reshape(total_hops, c.hop_size)
+            return jnp.concatenate([rows[i : i + n] for i in range(k)], axis=1)
+        idx = (
+            np.arange(c.frame_size)[None, :]
+            + np.arange(n)[:, None] * c.hop_size
+        ).astype(np.int32)
+        return x[jnp.asarray(idx)]
+
+    def _process_signal_impl(self, signal: jnp.ndarray, state: vad_ops.VadState):
+        """signal (L,) f32 -> (FeatureBlock, VadState), entirely on device:
+        framing + features + composite VAD in one compiled program."""
+        frames = self._device_stream_frames(signal)
+        f = int(frames.shape[0])
+        if f == 0:
+            c = self.cfg
+            empty = FeatureBlock(
+                energy=jnp.zeros((0,), jnp.float32),
+                zcr=jnp.zeros((0,), jnp.float32),
+                entropy=jnp.zeros((0,), jnp.float32),
+                mfcc=jnp.zeros((0, c.num_ceps), jnp.float32),
+                vad=jnp.zeros((0,), jnp.int32),
+                vad_adaptive=jnp.zeros((0,), jnp.int32),
+            )
+            return empty, state
+        return self._process_block_impl(frames, state, None)
+
     # -- public API ----------------------------------------------------------
 
     def initial_state(self) -> vad_ops.VadState:
@@ -244,12 +286,9 @@ class FeaturePipeline:
     ) -> tuple[FeatureBlock, vad_ops.VadState]:
         """Process one streaming block of raw frames with carried VAD state.
 
-        ``valid`` may mark a padded tail (bucketed shapes); defaults to all
-        frames valid.
+        ``valid`` may mark a padded tail (bucketed shapes); None means all
+        frames valid (and skips the state-correction pass entirely).
         """
-        f = frames_raw.shape[0]
-        if valid is None:
-            valid = jnp.ones((f,), dtype=bool)
         return self._block_jit(
             jnp.asarray(frames_raw, dtype=jnp.float32), state, valid
         )
@@ -267,6 +306,16 @@ class FeaturePipeline:
             + np.arange(f)[:, None] * c.hop_size
         )
         return np.asarray(samples, dtype=np.float32)[idx]
+
+    def process_signal_device(
+        self, signal, state: vad_ops.VadState | None = None
+    ) -> tuple[FeatureBlock, vad_ops.VadState]:
+        """Fully on-device path: jitted framing + features + VAD. ``signal``
+        may already be a device array (e.g. device_put ahead of time by a
+        double-buffered feeder); nothing round-trips to the host."""
+        if state is None:
+            state = self.initial_state()
+        return self._signal_jit(jnp.asarray(signal, dtype=jnp.float32), state)
 
     def process_signal(
         self, signal, state: vad_ops.VadState | None = None, pad_tail: bool = False

@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Device-mesh scale-out for the speech front-end.
+
+The reference has **no** distributed stack (SURVEY.md §2: "Parallelism /
+distributed components: NONE" — its concurrency is two Python threads and a
+lock, engine.py:99-103). The TPU-native equivalents here are therefore about
+*scale-out of the batch workload*, not parity:
+
+- **data parallelism** ("dp"): a batch of independent audio signals (files)
+  sharded across devices; every signal carries its own VAD state, so there is
+  no cross-device communication at all — XLA runs each shard locally.
+- **sequence parallelism** ("sp"): one long signal's frame axis sharded
+  across devices. The feature stage is embarrassingly parallel per frame; the
+  composite VAD's trailing-history convolution and last-voiced cummax are
+  prefix computations whose halo/carry exchange XLA lowers to collectives
+  (collective-permute / all-gather of 256-element halos) over ICI.
+
+Both paths go through ``jax.jit`` with ``NamedSharding`` annotations — no
+hand-written collectives; XLA SPMD inserts them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import vad as vad_ops
+from ..ops.pipeline import FeatureBlock, FeatureConfig, FeaturePipeline
+
+__all__ = [
+    "make_mesh",
+    "BatchPipeline",
+]
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
+    """Build a ("data", "seq") mesh over the first ``n_devices`` devices.
+
+    ``dp`` fixes the data-parallel extent (defaults to the largest power-of-2
+    divisor <= sqrt-ish split); the rest becomes the sequence axis.
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if dp is None:
+        dp = 1
+        while n % (dp * 2) == 0 and dp * 2 * dp <= n:
+            dp *= 2
+    assert n % dp == 0, (n, dp)
+    arr = np.array(devices[:n]).reshape(dp, n // dp)
+    return Mesh(arr, axis_names=("data", "seq"))
+
+
+class BatchPipeline:
+    """Sharded batch processing over a device mesh.
+
+    ``process_batch``: (B, L) signals, B sharded over "data", each signal's
+    frame axis sharded over "seq". ``process_long``: one (L,) signal with
+    frames sharded over the whole mesh.
+    """
+
+    def __init__(self, mesh: Mesh, cfg: FeatureConfig | None = None):
+        self.mesh = mesh
+        self.pipe = FeaturePipeline(cfg or FeatureConfig())
+        self._batch_jit = {}
+
+    def _batch_impl(self, signals: jnp.ndarray, states: vad_ops.VadState):
+        """vmapped per-signal pipeline; frame axis sharding is constrained so
+        XLA partitions the heavy feature matmuls over "seq" too."""
+
+        def one(signal, state):
+            frames = self.pipe._device_stream_frames(signal)
+            frames = jax.lax.with_sharding_constraint(
+                frames, NamedSharding(self.mesh, P("seq", None))
+            )
+            return self.pipe._process_block_impl(frames, state, None)
+
+        return jax.vmap(one)(signals, states)
+
+    def initial_states(self, batch: int) -> vad_ops.VadState:
+        s = self.pipe.initial_state()
+        return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), s)
+
+    def process_batch(
+        self, signals, states: vad_ops.VadState | None = None
+    ) -> tuple[FeatureBlock, vad_ops.VadState]:
+        """Process a (B, L) batch of equal-length signals, B over "data"."""
+        signals = jnp.asarray(signals, dtype=jnp.float32)
+        b = signals.shape[0]
+        if states is None:
+            states = self.initial_states(b)
+        key = ("batch", signals.shape)
+        if key not in self._batch_jit:
+            in_sh = NamedSharding(self.mesh, P("data", None))
+            state_sh = NamedSharding(self.mesh, P("data"))
+            self._batch_jit[key] = jax.jit(
+                self._batch_impl,
+                in_shardings=(in_sh, jax.tree.map(lambda _: state_sh, states)),
+            )
+        return self._batch_jit[key](signals, states)
+
+    def process_long(
+        self, signal, state: vad_ops.VadState | None = None
+    ) -> tuple[FeatureBlock, vad_ops.VadState]:
+        """Process one long (L,) signal with the frame axis sharded over the
+        flattened ("data", "seq") mesh — sequence parallelism."""
+        signal = jnp.asarray(signal, dtype=jnp.float32)
+        if state is None:
+            state = self.pipe.initial_state()
+        key = ("long", signal.shape)
+        if key not in self._batch_jit:
+
+            def impl(sig, st):
+                frames = self.pipe._device_stream_frames(sig)
+                frames = jax.lax.with_sharding_constraint(
+                    frames, NamedSharding(self.mesh, P(("data", "seq"), None))
+                )
+                return self.pipe._process_block_impl(frames, st, None)
+
+            self._batch_jit[key] = jax.jit(impl)
+        return self._batch_jit[key](signal, state)

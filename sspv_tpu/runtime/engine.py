@@ -1,0 +1,339 @@
+#!/usr/bin/env python3
+"""AudioRuntime: the streaming engine.
+
+Public surface matches the reference engine exactly (``runtime/engine.py``):
+``start() / stop() / set_audio_source(src, auto_stop_on_eof) /
+get_recent_audio() / get_recent_processed(max_display) / save_data(directory)``
+plus ``is_running`` and ``last_error`` — the 6-method duck-typed contract the
+UI depends on (visualization.py:20-26).
+
+Internally the design is TPU-native instead of a per-frame Python loop:
+
+- a capture thread performs the blocking device/file reads (I/O needs a
+  thread; that part of the reference architecture is sound);
+- the processing thread accumulates samples, frames them with a carried
+  overlap tail (streaming semantics: full frames only, engine.py:240-242),
+  pads the frame block to a small set of bucket sizes so jit sees fixed
+  shapes, and dispatches the whole block to the fused device pipeline
+  (features + composite VAD with carried ``VadState``) in ONE call;
+- dispatch is double-buffered: block k+1 is enqueued before block k's results
+  are materialized, so host→device transfer and TPU compute overlap with
+  result readback — this replaces the reference's producer/consumer deque
+  handoff (engine.py:90-103) as the concurrency mechanism;
+- per-frame results land in the same ``processed_data`` deque-of-dicts shape
+  (keys ``energy, zcr, vad, spec_entropy, vad_adaptive, mfcc``,
+  engine.py:302-311) so downstream consumers are unchanged.
+
+``save_data`` writes the byte-compatible 8-key ``.npz`` schema
+(engine.py:385-395; dtypes per the committed sample files: energies/zcrs
+float64, vads int32, spec_entropy/vads_adaptive float32, int32 scalars).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from collections import deque
+
+import numpy as np
+
+from ..config import Config
+from ..ops import vad as vad_ops
+from ..ops.pipeline import FeatureConfig, FeaturePipeline
+from .audio_source import AudioSource, PyAudioSource
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["AudioRuntime"]
+
+
+def _default_mic_source() -> PyAudioSource:
+    return PyAudioSource(
+        sample_rate=Config.SAMPLE_RATE,
+        channels=Config.CHANNELS,
+        format_const=Config.AUDIO_FORMAT,
+        frames_per_buffer=Config.CHUNK_SIZE,
+    )
+
+
+class AudioRuntime:
+    """Streaming audio → TPU feature/VAD engine with the reference surface."""
+
+    def __init__(
+        self,
+        audio_source: AudioSource | None = None,
+        pipeline: FeaturePipeline | None = None,
+    ):
+        self.format = Config.AUDIO_FORMAT
+        self.chunk = Config.CHUNK_SIZE
+        self.audio_source: AudioSource = audio_source or _default_mic_source()
+        self.rate = getattr(self.audio_source, "sample_rate", Config.SAMPLE_RATE)
+        self.channels = getattr(self.audio_source, "channels", Config.CHANNELS)
+        self.frame_size = Config.FRAME_SIZE
+        self.hop_size = Config.HOP_SIZE
+
+        self.pipeline = pipeline or FeaturePipeline(FeatureConfig.from_config(Config))
+        from ..ops.windows import get_window
+
+        self.window = get_window(Config.WINDOW_TYPE, self.frame_size)
+        self.energy_threshold = Config.ENERGY_THRESHOLD
+        self.zcr_threshold = Config.ZCR_THRESHOLD
+
+        # display ring: raw audio chunks for the waveform plot, sized so the
+        # processing path can never starve it
+        display_chunks = max(
+            8, int(Config.WAVEFORM_DISPLAY_LENGTH / max(1, Config.CHUNK_SIZE))
+        )
+        self.audio_display_buffer: deque[np.ndarray] = deque(maxlen=display_chunks)
+        self.processed_data: deque[dict] = deque(
+            maxlen=Config.PROCESSED_DATA_BUFFER_SIZE
+        )
+        # host-side mirrors of the adaptive-VAD history (API parity; the
+        # authoritative copy lives in the device VadState)
+        hist_len = int(getattr(Config, "VAD_HISTORY_LEN", 256))
+        self.energy_history: deque[float] = deque(maxlen=hist_len)
+        self.zcr_history: deque[float] = deque(maxlen=hist_len)
+
+        self.is_running = False
+        self.last_error: Exception | None = None
+        self.auto_stop_on_eof: bool = False
+        self.lock = threading.Lock()
+
+        self._capture_thread: threading.Thread | None = None
+        self._process_thread: threading.Thread | None = None
+        self._pending: list[np.ndarray] = []  # captured, not yet processed
+        self._vad_state: vad_ops.VadState = self.pipeline.initial_state()
+        self._buckets = tuple(
+            sorted(getattr(Config, "TPU_STREAM_BUCKETS", (8, 32, 128, 512, 2048)))
+        )
+
+    # ------------------------------------------------------------------
+    # source management
+    # ------------------------------------------------------------------
+
+    def set_audio_source(
+        self, audio_source: AudioSource | None, auto_stop_on_eof: bool = False
+    ) -> None:
+        """Swap the input source (None → microphone); stops first if running
+        and clears buffers and adaptive-VAD history (hangover state is
+        intentionally preserved across swaps, as in the reference)."""
+        if self.is_running:
+            self.stop()
+        self.audio_source = audio_source or _default_mic_source()
+        self.rate = getattr(self.audio_source, "sample_rate", Config.SAMPLE_RATE)
+        self.channels = getattr(self.audio_source, "channels", Config.CHANNELS)
+        self.auto_stop_on_eof = bool(auto_stop_on_eof)
+        with self.lock:
+            self._pending.clear()
+            self.processed_data.clear()
+            self.energy_history.clear()
+            self.zcr_history.clear()
+            self.audio_display_buffer.clear()
+        # reset history, keep hangover distance
+        fresh = self.pipeline.initial_state()
+        self._vad_state = vad_ops.VadState(
+            fresh.energy_buf, fresh.zcr_buf, fresh.count, self._vad_state.last_voiced
+        )
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+
+    def start(self) -> None:
+        if self.is_running:
+            return
+        self.is_running = True
+        self._capture_thread = threading.Thread(target=self._capture_loop, daemon=True)
+        self._process_thread = threading.Thread(target=self._process_loop, daemon=True)
+        self._capture_thread.start()
+        self._process_thread.start()
+
+    def stop(self) -> None:
+        # Always join: after an auto-stop-on-EOF the capture thread has
+        # already flipped is_running, but the processing thread may still be
+        # draining its in-flight block — callers expect stop() to return only
+        # once results are final.
+        self.is_running = False
+        for t in (self._capture_thread, self._process_thread):
+            if t is not None and t.is_alive():
+                t.join()
+        self._capture_thread = None
+        self._process_thread = None
+
+    # ------------------------------------------------------------------
+    # threads
+    # ------------------------------------------------------------------
+
+    def _capture_loop(self) -> None:
+        opened = False
+        try:
+            self.audio_source.open()
+            opened = True
+            while self.is_running:
+                data = self.audio_source.read(self.chunk)
+                if data is None or len(data) == 0:
+                    if (
+                        bool(getattr(self.audio_source, "exhausted", False))
+                        and self.auto_stop_on_eof
+                    ):
+                        self.is_running = False
+                        break
+                    time.sleep(Config.THREAD_SLEEP_TIME)
+                    continue
+                arr = np.asarray(data, dtype=np.int16)
+                with self.lock:
+                    self._pending.append(arr)
+                    self.audio_display_buffer.append(arr.copy())
+        except Exception as e:
+            self.last_error = e
+            logger.exception("audio capture thread failed: %s", e)
+        finally:
+            try:
+                if opened:
+                    self.audio_source.close()
+            except Exception:
+                pass
+
+    def _take_frames(self, carry: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Pull pending samples, return (raw frame block, new carry)."""
+        with self.lock:
+            chunks = self._pending
+            self._pending = []
+        if chunks:
+            carry = np.concatenate([carry] + chunks)
+        if len(carry) < self.frame_size:
+            return np.zeros((0, self.frame_size), np.float32), carry
+        n = 1 + (len(carry) - self.frame_size) // self.hop_size
+        idx = (
+            np.arange(self.frame_size)[None, :]
+            + np.arange(n)[:, None] * self.hop_size
+        )
+        frames = carry[idx].astype(np.float32)
+        return frames, carry[n * self.hop_size :]
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        return -(-n // self._buckets[-1]) * self._buckets[-1]
+
+    def _dispatch(self, frames: np.ndarray):
+        """Pad to a bucket and enqueue one fused device call (non-blocking)."""
+        n = frames.shape[0]
+        bucket = self._bucket_for(n)
+        if bucket != n:
+            frames = np.pad(frames, ((0, bucket - n), (0, 0)))
+        valid = np.arange(bucket) < n
+        import jax.numpy as jnp
+
+        block, new_state = self.pipeline.process_block(
+            frames, self._vad_state, valid=jnp.asarray(valid)
+        )
+        self._vad_state = new_state
+        return block, n
+
+    def _materialize(self, inflight) -> None:
+        """Bring one dispatched block's results to the host and publish them."""
+        block, n = inflight
+        energy = np.asarray(block.energy)[:n]
+        zcr = np.asarray(block.zcr)[:n]
+        entropy = np.asarray(block.entropy)[:n]
+        vad = np.asarray(block.vad)[:n]
+        vad_adaptive = np.asarray(block.vad_adaptive)[:n]
+        mfcc = np.asarray(block.mfcc)[:n]
+        with self.lock:
+            for i in range(n):
+                self.energy_history.append(float(energy[i]))
+                self.zcr_history.append(float(zcr[i]))
+                self.processed_data.append(
+                    {
+                        "energy": float(energy[i]),
+                        "zcr": float(zcr[i]),
+                        "vad": int(vad[i]),
+                        "spec_entropy": float(entropy[i]),
+                        "vad_adaptive": int(vad_adaptive[i]),
+                        "mfcc": mfcc[i].tolist(),
+                    }
+                )
+
+    def _process_loop(self) -> None:
+        carry = np.zeros((0,), dtype=np.int16)
+        inflight = None  # double buffer: one block in flight
+        try:
+            while self.is_running:
+                frames, carry = self._take_frames(carry)
+                if frames.shape[0] == 0:
+                    if inflight is not None:
+                        self._materialize(inflight)
+                        inflight = None
+                    time.sleep(Config.THREAD_SLEEP_TIME)
+                    continue
+                next_inflight = self._dispatch(frames)
+                if inflight is not None:
+                    self._materialize(inflight)
+                inflight = next_inflight
+            # drain: publish the last in-flight block and any tail frames
+            if inflight is not None:
+                self._materialize(inflight)
+            frames, carry = self._take_frames(carry)
+            if frames.shape[0]:
+                self._materialize(self._dispatch(frames))
+        except Exception as e:
+            self.last_error = e
+            logger.exception("processing thread failed: %s", e)
+
+    # ------------------------------------------------------------------
+    # data access
+    # ------------------------------------------------------------------
+
+    def get_recent_audio(self) -> np.ndarray:
+        """Last <= WAVEFORM_DISPLAY_LENGTH raw int16 samples for display."""
+        with self.lock:
+            if not self.audio_display_buffer:
+                return np.array([], dtype=np.int16)
+            recent = np.concatenate(list(self.audio_display_buffer))
+        limit = Config.WAVEFORM_DISPLAY_LENGTH
+        return recent[-limit:] if len(recent) > limit else recent
+
+    def get_recent_processed(self, max_display=None):
+        """Last ``max_display`` frames as ``(energies, zcrs, vads)`` arrays."""
+        if max_display is None:
+            max_display = Config.MAX_DISPLAY_FRAMES
+        with self.lock:
+            if not self.processed_data:
+                return np.array([]), np.array([]), np.array([])
+            energies = [d["energy"] for d in self.processed_data]
+            zcrs = [d["zcr"] for d in self.processed_data]
+            vads = [d["vad"] for d in self.processed_data]
+        if len(energies) > max_display:
+            energies = energies[-max_display:]
+            zcrs = zcrs[-max_display:]
+            vads = vads[-max_display:]
+        return np.array(energies), np.array(zcrs), np.array(vads)
+
+    def save_data(self, directory=None) -> str:
+        """Write the 8-key ``.npz`` export; returns the file path."""
+        if directory is None:
+            directory = Config.SAVE_DIRECTORY
+        timestamp = time.strftime("%Y%m%d_%H%M%S")
+        filename = f"{directory}/voice_processing_data_{timestamp}.npz"
+        limit = Config.PROCESSED_DATA_BUFFER_SIZE
+        energies, zcrs, vads = self.get_recent_processed(max_display=limit)
+        with self.lock:
+            spec_entropies = [d.get("spec_entropy", np.nan) for d in self.processed_data]
+            vads_adaptive = [d.get("vad_adaptive", np.nan) for d in self.processed_data]
+        spec_entropies = spec_entropies[-limit:]
+        vads_adaptive = vads_adaptive[-limit:]
+        np.savez(
+            filename,
+            energies=np.asarray(energies, dtype=np.float64),
+            zcrs=np.asarray(zcrs, dtype=np.float64),
+            vads=np.asarray(vads, dtype=np.int32),
+            spec_entropy=np.asarray(spec_entropies, dtype=np.float32),
+            vads_adaptive=np.asarray(vads_adaptive, dtype=np.float32),
+            sample_rate=np.int32(self.rate),
+            frame_size=np.int32(self.frame_size),
+            hop_size=np.int32(self.hop_size),
+        )
+        return filename

@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Runtime engine integration with a synthetic AudioSource (the reference's
+hardware-free strategy: swap the device-facing source, run everything else
+for real — tests/test_runtime_engine.py:12-53) plus exact parity of the
+engine's streaming output against the sequential per-frame oracle."""
+
+import os
+import time
+
+import numpy as np
+
+from sspv_tpu.config import Config
+from sspv_tpu.runtime import AudioRuntime
+from sspv_tpu.runtime.audio_source import AudioSource
+
+import oracle
+
+
+class DummyAudioSource(AudioSource):
+    """In-memory int16 sine source honoring the 3-method contract."""
+
+    def __init__(self, duration_sec: float = 0.25, freq_hz: float = 440.0,
+                 signal: np.ndarray | None = None) -> None:
+        self.sample_rate = Config.SAMPLE_RATE
+        self.channels = 1
+        if signal is None:
+            t = np.arange(int(duration_sec * self.sample_rate)) / self.sample_rate
+            signal = (0.5 * np.sin(2 * np.pi * freq_hz * t) * 32767).astype(np.int16)
+        self._data = np.asarray(signal, dtype=np.int16)
+        self._pos = 0
+        self.exhausted = False
+
+    def open(self) -> None:
+        self._pos = 0
+        self.exhausted = False
+
+    def read(self, num_frames: int) -> np.ndarray:
+        if self._pos >= len(self._data):
+            self.exhausted = True
+            return np.array([], dtype=np.int16)
+        end = min(len(self._data), self._pos + num_frames)
+        chunk = self._data[self._pos:end]
+        self._pos = end
+        if self._pos >= len(self._data):
+            self.exhausted = True
+        return chunk
+
+    def close(self) -> None:
+        pass
+
+
+def _run_engine_to_eof(rt: AudioRuntime, timeout_s: float = 60.0) -> None:
+    rt.start()
+    t0 = time.time()
+    while rt.is_running and time.time() - t0 < timeout_s:
+        time.sleep(0.01)
+    rt.stop()
+    assert rt.last_error is None, rt.last_error
+
+
+def test_runtime_engine_with_dummy_source():
+    src = DummyAudioSource(duration_sec=0.3)
+    rt = AudioRuntime(audio_source=src)
+    rt.auto_stop_on_eof = True
+    _run_engine_to_eof(rt)
+
+    energies, zcrs, vads = rt.get_recent_processed()
+    assert energies.size > 0
+    assert zcrs.size == energies.size
+    assert vads.size == energies.size
+    audio = rt.get_recent_audio()
+    assert audio.dtype == np.int16 and audio.size > 0
+
+
+def test_engine_output_matches_sequential_oracle():
+    rng = np.random.default_rng(12)
+    sr = Config.SAMPLE_RATE
+    n = int(0.9 * sr)  # 89 frames < PROCESSED_DATA_BUFFER_SIZE
+    t = np.arange(n) / sr
+    sig = np.zeros(n, dtype=np.float64)
+    sig[3000:7000] = np.sin(2 * np.pi * 180 * t[3000:7000]) * 9000
+    sig[7000:11000] = rng.normal(0, 2500, 4000)
+    sig16 = sig.astype(np.int16)
+
+    rt = AudioRuntime(audio_source=DummyAudioSource(signal=sig16))
+    rt.auto_stop_on_eof = True
+    _run_engine_to_eof(rt)
+
+    energies, zcrs, vads = rt.get_recent_processed(max_display=1000)
+
+    # oracle: streaming framing (full frames only) + per-frame state machine
+    nf = 1 + (n - Config.FRAME_SIZE) // Config.HOP_SIZE
+    idx = np.arange(Config.FRAME_SIZE)[None, :] + Config.HOP_SIZE * np.arange(nf)[:, None]
+    w = oracle.hamming(Config.FRAME_SIZE)
+    frames = (sig16[idx].astype(np.float32) * w).astype(np.float32)
+    e = oracle.short_time_energy(frames)
+    z = oracle.zero_crossing_rate(frames)
+    h = oracle.spectral_entropy(frames, Config.SPECTRAL_ENTROPY_N_FFT)
+    ref = oracle.EngineVadOracle(
+        energy_threshold=Config.ENERGY_THRESHOLD,
+        zcr_threshold=Config.ZCR_THRESHOLD,
+        entropy_voice_max=Config.SPECTRAL_ENTROPY_VOICE_MAX,
+        use_adaptive=Config.USE_ADAPTIVE_VAD,
+        alpha_raw=Config.ADAPTIVE_VAD_ENERGY_K,
+        hangover_on=Config.VAD_HANGOVER_ON,
+        release_off=Config.VAD_RELEASE_OFF,
+    )
+    want_vad, _ = ref.run_all(e, z, h)
+
+    assert energies.size == nf, (energies.size, nf)
+    np.testing.assert_allclose(energies, e, rtol=1e-5)
+    np.testing.assert_array_equal(vads, want_vad)
+
+
+def test_npz_export_schema(tmp_path):
+    rt = AudioRuntime(audio_source=DummyAudioSource(duration_sec=0.3))
+    rt.auto_stop_on_eof = True
+    _run_engine_to_eof(rt)
+    path = rt.save_data(str(tmp_path))
+    assert os.path.exists(path)
+    with np.load(path) as data:
+        assert set(data.files) == {
+            "energies", "zcrs", "vads", "spec_entropy", "vads_adaptive",
+            "sample_rate", "frame_size", "hop_size",
+        }
+        assert data["energies"].dtype == np.float64
+        assert data["zcrs"].dtype == np.float64
+        assert data["vads"].dtype == np.int32
+        assert data["spec_entropy"].dtype == np.float32
+        assert data["vads_adaptive"].dtype == np.float32
+        assert int(data["sample_rate"]) == Config.SAMPLE_RATE
+        assert int(data["frame_size"]) == Config.FRAME_SIZE
+        assert int(data["hop_size"]) == Config.HOP_SIZE
+        n = data["energies"].shape[0]
+        assert all(data[k].shape == (n,) for k in
+                   ["zcrs", "vads", "spec_entropy", "vads_adaptive"])
+
+
+def test_set_audio_source_resets_buffers():
+    rt = AudioRuntime(audio_source=DummyAudioSource(duration_sec=0.3))
+    rt.auto_stop_on_eof = True
+    _run_engine_to_eof(rt)
+    assert len(rt.processed_data) > 0
+    rt.set_audio_source(DummyAudioSource(duration_sec=0.2), auto_stop_on_eof=True)
+    assert len(rt.processed_data) == 0
+    assert len(rt.energy_history) == 0
+    _run_engine_to_eof(rt)
+    assert len(rt.processed_data) > 0
