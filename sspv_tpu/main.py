@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Application entry point.
+
+Flow matches the reference ``main.py:18-50``: logging setup → optional YAML
+config (``RTP_CONFIG_YAML``) → env overrides (``RTP_`` prefix) → env-driven
+source selection (``RTP_INPUT_FILE`` → FileAudioSource, ``RTP_INPUT_DIR`` →
+PlaylistAudioSource over sorted supported files) → runtime + UI event loop.
+
+Extra env knobs for display-less operation:
+- ``RTP_HEADLESS=1``   force the headless visualizer
+- ``RTP_DURATION=<s>`` stop after N seconds (headless)
+- ``RTP_SNAPSHOT=<p>`` PNG path for the final plot snapshot (headless)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from .config import Config
+
+logger = logging.getLogger(__name__)
+
+
+def main() -> None:
+    Config.setup_logging()
+    yaml_path = os.environ.get("RTP_CONFIG_YAML")
+    if yaml_path:
+        Config.load_from_yaml(yaml_path)
+    Config.load_from_env(prefix="RTP_")
+
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from .runtime.audio_source import FileAudioSource, PlaylistAudioSource
+    from .runtime.engine import AudioRuntime
+    from .ui import VisualizationUI, collect_audio_files
+
+    audio_source = None
+    input_file = os.environ.get("RTP_INPUT_FILE")
+    input_dir = os.environ.get("RTP_INPUT_DIR")
+    if input_file:
+        audio_source = FileAudioSource(input_file, sample_rate=Config.SAMPLE_RATE)
+    elif input_dir:
+        files = collect_audio_files(input_dir)
+        if files:
+            audio_source = PlaylistAudioSource(files, sample_rate=Config.SAMPLE_RATE)
+
+    runtime = AudioRuntime(audio_source=audio_source)
+    if audio_source is not None:
+        runtime.auto_stop_on_eof = True
+
+    headless = os.environ.get("RTP_HEADLESS", "").lower() in {"1", "true", "yes"}
+    kwargs = {}
+    if headless:
+        kwargs["headless"] = True
+    duration = os.environ.get("RTP_DURATION")
+    if duration:
+        kwargs.setdefault("headless", True)
+        kwargs["duration"] = float(duration)
+    snapshot = os.environ.get("RTP_SNAPSHOT")
+    if snapshot:
+        kwargs.setdefault("headless", True)
+        kwargs["snapshot_path"] = snapshot
+
+    ui = VisualizationUI(runtime, **kwargs)
+    ui.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -254,9 +254,19 @@ class FeaturePipeline:
         ).astype(np.int32)
         return x[jnp.asarray(idx)]
 
+    # Frames per lax.scan step on the long-signal path. The scan keeps the
+    # compiled program size independent of signal length (one block body +
+    # a loop), which matters here because compiles go through a slow remote
+    # service; 8192 frames = ~13 s of audio per step keeps each step's
+    # matmuls comfortably MXU-sized.
+    SCAN_BLOCK_FRAMES = 8192
+
     def _process_signal_impl(self, signal: jnp.ndarray, state: vad_ops.VadState):
         """signal (L,) f32 -> (FeatureBlock, VadState), entirely on device:
-        framing + features + composite VAD in one compiled program."""
+        framing + features + composite VAD in one compiled program. Long
+        signals run as a lax.scan over fixed-size frame blocks with the
+        VadState carried (the TPU-native version of the reference's chunked
+        consumer loop, engine.py:229-242)."""
         frames = self._device_stream_frames(signal)
         f = int(frames.shape[0])
         if f == 0:
@@ -270,7 +280,23 @@ class FeaturePipeline:
                 vad_adaptive=jnp.zeros((0,), jnp.int32),
             )
             return empty, state
-        return self._process_block_impl(frames, state, None)
+        b = self.SCAN_BLOCK_FRAMES
+        if f <= b:
+            return self._process_block_impl(frames, state, None)
+        nb = -(-f // b)
+        pad = nb * b - f
+        if pad:
+            frames = jnp.pad(frames, ((0, pad), (0, 0)))
+        valid = (jnp.arange(nb * b, dtype=jnp.int32) < f).reshape(nb, b)
+
+        def step(st, inp):
+            fr, va = inp
+            blk, new_st = self._process_block_impl(fr, st, va)
+            return new_st, blk
+
+        state, blocks = jax.lax.scan(step, state, (frames.reshape(nb, b, -1), valid))
+        flat = FeatureBlock(*(x.reshape(nb * b, *x.shape[2:])[:f] for x in blocks))
+        return flat, state
 
     # -- public API ----------------------------------------------------------
 

@@ -1,0 +1,272 @@
+#!/usr/bin/env python3
+"""Qt/pyqtgraph visualization backend (interactive GUI).
+
+Functional equivalent of the reference GUI (ui/visualization.py): four
+stacked live plots (waveform, short-time energy, ZCR, VAD), a settings group
+for source selection (microphone / auto-scan of the default audio directory /
+custom file-or-directory path, test-all vs test-one), auto-stop-on-EOF and
+auto-range toggles, start/stop/save controls with status + playlist progress
++ running summary labels, a 50 ms poll timer, and an EOF completion prompt.
+
+Requires ``pyqtgraph`` + a Qt binding; ``VisualizationUI`` falls back to the
+headless backend when they are missing. The plotting/auto-range state lives
+in the shared backend-agnostic ``PlotModel`` (ui/plots.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+from ..config import Config
+from .files import collect_audio_files, default_audio_dir
+from .plots import PlotModel
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["QtVisualizer"]
+
+_STYLESHEET = """
+QWidget { background-color: #1e1e1e; color: #dddddd; font-size: 12px; }
+QPushButton { background-color: #333333; border: 1px solid #555555;
+              padding: 4px 12px; border-radius: 3px; }
+QPushButton:hover { background-color: #444444; }
+QPushButton:disabled { color: #777777; }
+QGroupBox { border: 1px solid #444444; margin-top: 6px; }
+QGroupBox::title { subcontrol-origin: margin; left: 8px; }
+"""
+
+
+class QtVisualizer:
+    """Interactive pyqtgraph window over the runtime contract."""
+
+    def __init__(self, runtime, title: str = "Real-time speech processing (TPU)"):
+        import pyqtgraph as pg
+        from pyqtgraph.Qt import QtCore, QtWidgets
+
+        self.pg = pg
+        self.QtCore = QtCore
+        self.QtWidgets = QtWidgets
+        self.runtime = runtime
+        self.model = PlotModel(runtime)
+
+        self.app = QtWidgets.QApplication.instance() or QtWidgets.QApplication([])
+        self.app.setStyleSheet(_STYLESHEET)
+        self.win = QtWidgets.QWidget()
+        self.win.setWindowTitle(title)
+        self.win.resize(1100, 850)
+
+        layout = QtWidgets.QVBoxLayout(self.win)
+        layout.addWidget(self._build_plots())
+        layout.addWidget(self._build_settings())
+        layout.addLayout(self._build_controls())
+
+        self.timer = QtCore.QTimer()
+        self.timer.setInterval(Config.PLOT_UPDATE_INTERVAL)
+        self.timer.timeout.connect(self._update)
+        self.timer.start()
+        self._was_running = False
+        self._prompted_eof = False
+
+    # -- construction ------------------------------------------------------
+
+    def _build_plots(self):
+        pg = self.pg
+        glw = pg.GraphicsLayoutWidget()
+        self.curves = {}
+        specs = [
+            ("waveform", "Waveform", "#4fc3f7"),
+            ("energy", "Short-time energy", "#ffb74d"),
+            ("zcr", "Zero-crossing rate", "#aed581"),
+            ("vad", "Voice activity", "#e57373"),
+        ]
+        self.plots = {}
+        for i, (key, label, color) in enumerate(specs):
+            p = glw.addPlot(row=i, col=0, title=label)
+            p.showGrid(x=True, y=True, alpha=0.2)
+            if key == "vad":
+                curve = p.plot(
+                    [], [], pen=pg.mkPen(color, width=1.5),
+                    fillLevel=0, brush=pg.mkBrush(color + "60"),
+                    stepMode="center",
+                )
+            else:
+                curve = p.plot([], [], pen=pg.mkPen(color, width=1))
+            self.curves[key] = curve
+            self.plots[key] = p
+        return glw
+
+    def _build_settings(self):
+        QtWidgets = self.QtWidgets
+        group = QtWidgets.QGroupBox("Audio source")
+        form = QtWidgets.QGridLayout(group)
+
+        self.radio_mic = QtWidgets.QRadioButton("Microphone")
+        self.radio_scan = QtWidgets.QRadioButton("Scan default directory")
+        self.radio_custom = QtWidgets.QRadioButton("Custom path")
+        self.radio_scan.setChecked(True)
+        form.addWidget(self.radio_mic, 0, 0)
+        form.addWidget(self.radio_scan, 0, 1)
+        form.addWidget(self.radio_custom, 0, 2)
+
+        self.path_edit = QtWidgets.QLineEdit()
+        self.path_edit.setPlaceholderText("file or directory path")
+        browse_file = QtWidgets.QPushButton("File…")
+        browse_dir = QtWidgets.QPushButton("Dir…")
+        browse_file.clicked.connect(self._pick_file)
+        browse_dir.clicked.connect(self._pick_dir)
+        form.addWidget(self.path_edit, 1, 0)
+        form.addWidget(browse_file, 1, 1)
+        form.addWidget(browse_dir, 1, 2)
+
+        self.radio_all = QtWidgets.QRadioButton("Test all files")
+        self.radio_one = QtWidgets.QRadioButton("Test one file:")
+        self.radio_all.setChecked(True)
+        self.file_combo = QtWidgets.QComboBox()
+        scope = QtWidgets.QButtonGroup(group)
+        scope.addButton(self.radio_all)
+        scope.addButton(self.radio_one)
+        form.addWidget(self.radio_all, 2, 0)
+        form.addWidget(self.radio_one, 2, 1)
+        form.addWidget(self.file_combo, 2, 2)
+
+        self.chk_autostop = QtWidgets.QCheckBox("Auto-stop at end of file")
+        self.chk_autostop.setChecked(True)
+        self.chk_autorange = QtWidgets.QCheckBox("Auto-range plots")
+        self.chk_autorange.setChecked(True)
+        form.addWidget(self.chk_autostop, 3, 0)
+        form.addWidget(self.chk_autorange, 3, 1)
+        return group
+
+    def _build_controls(self):
+        QtWidgets = self.QtWidgets
+        row = QtWidgets.QHBoxLayout()
+        self.btn_start = QtWidgets.QPushButton("Start")
+        self.btn_stop = QtWidgets.QPushButton("Stop")
+        self.btn_save = QtWidgets.QPushButton("Save data")
+        self.btn_start.clicked.connect(self._on_start)
+        self.btn_stop.clicked.connect(self._on_stop)
+        self.btn_save.clicked.connect(self._on_save)
+        self.status_label = QtWidgets.QLabel("stopped")
+        self.progress_label = QtWidgets.QLabel("")
+        self.result_label = QtWidgets.QLabel("")
+        for w in (self.btn_start, self.btn_stop, self.btn_save,
+                  self.status_label, self.progress_label, self.result_label):
+            row.addWidget(w)
+        row.addStretch(1)
+        return row
+
+    # -- source assembly ---------------------------------------------------
+
+    def _pick_file(self):
+        path, _ = self.QtWidgets.QFileDialog.getOpenFileName(self.win, "Audio file")
+        if path:
+            self.path_edit.setText(path)
+            self.radio_custom.setChecked(True)
+
+    def _pick_dir(self):
+        path = self.QtWidgets.QFileDialog.getExistingDirectory(self.win, "Audio dir")
+        if path:
+            self.path_edit.setText(path)
+            self.radio_custom.setChecked(True)
+            self._refresh_combo(collect_audio_files(path))
+
+    def _refresh_combo(self, files):
+        self.file_combo.clear()
+        for f in files:
+            self.file_combo.addItem(os.path.basename(f), f)
+
+    def _build_source(self):
+        from ..runtime.audio_source import FileAudioSource, PlaylistAudioSource
+
+        if self.radio_mic.isChecked():
+            return None
+        if self.radio_custom.isChecked():
+            path = self.path_edit.text().strip()
+            if os.path.isfile(path):
+                return FileAudioSource(path, sample_rate=Config.SAMPLE_RATE)
+            files = collect_audio_files(path)
+        else:
+            files = collect_audio_files(default_audio_dir())
+        if not files:
+            return None
+        if self.radio_one.isChecked() and self.file_combo.count():
+            sel = self.file_combo.currentData() or files[0]
+            files = [sel]
+        elif self.file_combo.count():
+            # start the playlist at the combo selection (reference
+            # visualization.py:854-881 reorders similarly)
+            sel = self.file_combo.currentData()
+            if sel in files:
+                i = files.index(sel)
+                files = files[i:] + files[:i]
+        return PlaylistAudioSource(files, sample_rate=Config.SAMPLE_RATE)
+
+    # -- handlers ----------------------------------------------------------
+
+    def _on_start(self):
+        try:
+            src = self._build_source()
+            if hasattr(self.runtime, "set_audio_source"):
+                self.runtime.set_audio_source(
+                    src, auto_stop_on_eof=self.chk_autostop.isChecked()
+                )
+            self.runtime.start()
+            self._prompted_eof = False
+            self.status_label.setText("running")
+        except Exception as e:
+            logger.exception("start failed")
+            self.QtWidgets.QMessageBox.critical(self.win, "Start failed", str(e))
+
+    def _on_stop(self):
+        self.runtime.stop()
+        self.status_label.setText("stopped")
+
+    def _on_save(self):
+        try:
+            path = self.runtime.save_data()
+            self.QtWidgets.QMessageBox.information(self.win, "Saved", path)
+        except Exception as e:
+            self.QtWidgets.QMessageBox.critical(self.win, "Save failed", str(e))
+
+    def _update(self):
+        m = self.model
+        m.auto_range = self.chk_autorange.isChecked()
+        m.poll()
+        self.curves["waveform"].setData(m.waveform)
+        self.curves["energy"].setData(m.energies)
+        self.curves["zcr"].setData(m.zcrs)
+        if m.vads.size:
+            x = np.arange(m.vads.size + 1)
+            self.curves["vad"].setData(x, m.vads)
+        for key, plot in self.plots.items():
+            lo, hi = m.ranges[key]
+            plot.setYRange(lo, hi, padding=0)
+        self.progress_label.setText(m.progress())
+        self.result_label.setText(m.summary())
+        running = bool(getattr(self.runtime, "is_running", False))
+        self.status_label.setText("running" if running else "stopped")
+        exhausted = bool(getattr(self.runtime.audio_source, "exhausted", False))
+        if self._was_running and not running and exhausted and not self._prompted_eof:
+            self._prompted_eof = True
+            self._prompt_completion()
+        self._was_running = running
+        self.btn_start.setEnabled(not running)
+        self.btn_stop.setEnabled(running)
+
+    def _prompt_completion(self):
+        QtWidgets = self.QtWidgets
+        box = QtWidgets.QMessageBox(self.win)
+        box.setWindowTitle("Playback complete")
+        box.setText("All audio consumed. Continue with another source or quit?")
+        cont = box.addButton("Continue", QtWidgets.QMessageBox.AcceptRole)
+        box.addButton("Quit", QtWidgets.QMessageBox.RejectRole)
+        box.exec()
+        if box.clickedButton() is not cont:
+            self.app.quit()
+
+    def run(self):
+        self.win.show()
+        return self.app.exec()

@@ -1,0 +1,34 @@
+#!/usr/bin/env python3
+"""Persistent XLA compilation cache management.
+
+On hardware where compilation is served by a remote compile service, the
+first compile of the fused pipeline takes minutes; with the persistent cache
+it reloads in seconds. Safe to call multiple times.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["enable_persistent_cache"]
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> str:
+    """Point jax at a persistent compilation cache directory and lower the
+    store threshold to zero. Order of precedence: explicit arg >
+    ``JAX_COMPILATION_CACHE_DIR`` env > ``~/.cache/sspv_tpu/jax``."""
+    import jax
+
+    cache_dir = (
+        cache_dir
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.join(os.path.expanduser("~"), ".cache", "sspv_tpu", "jax")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    logger.debug("persistent compilation cache at %s", cache_dir)
+    return cache_dir
