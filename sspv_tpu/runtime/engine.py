@@ -204,13 +204,10 @@ class AudioRuntime:
             carry = np.concatenate([carry] + chunks)
         if len(carry) < self.frame_size:
             return np.zeros((0, self.frame_size), np.float32), carry
-        n = 1 + (len(carry) - self.frame_size) // self.hop_size
-        idx = (
-            np.arange(self.frame_size)[None, :]
-            + np.arange(n)[:, None] * self.hop_size
-        )
-        frames = carry[idx].astype(np.float32)
-        return frames, carry[n * self.hop_size :]
+        from ..utils.native import frame_i16_to_f32
+
+        frames = frame_i16_to_f32(carry, self.frame_size, self.hop_size)
+        return frames, carry[frames.shape[0] * self.hop_size :]
 
     def _bucket_for(self, n: int) -> int:
         for b in self._buckets:
