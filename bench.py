@@ -56,7 +56,7 @@ def main() -> None:
 
     from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
 
-    seconds = 600.0
+    seconds = 3600.0
     sr = 16000
     sig_np = synth_signal(seconds, sr)
 
