@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Profiling helpers.
+
+The reference's only perf instrumentation is a wall-clock real-time factor
+(demo.py:76-77); here we add first-class helpers: a wall-clock RealTimeFactor
+timer and an optional ``jax.profiler`` trace context for TensorBoard-style
+device profiles (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+__all__ = ["RealTimeFactor", "device_trace"]
+
+
+class RealTimeFactor:
+    """Measure wall time against audio duration.
+
+    >>> rtf = RealTimeFactor(audio_seconds=2.0)
+    >>> with rtf:
+    ...     process()
+    >>> rtf.factor   # processing_time / duration  (lower is better)
+    >>> rtf.speedup  # duration / processing_time  (x real-time)
+    """
+
+    def __init__(self, audio_seconds: float):
+        self.audio_seconds = float(audio_seconds)
+        self.elapsed = 0.0
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self._t0
+        return False
+
+    @property
+    def factor(self) -> float:
+        return self.elapsed / self.audio_seconds if self.audio_seconds else 0.0
+
+    @property
+    def speedup(self) -> float:
+        return self.audio_seconds / self.elapsed if self.elapsed else 0.0
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler device trace into ``log_dir`` (viewable with
+    TensorBoard / xprof). No-ops gracefully if the profiler is unavailable."""
+    import jax
+
+    try:
+        jax.profiler.start_trace(log_dir)
+        started = True
+    except Exception:
+        started = False
+    try:
+        yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""utils: npz session round-trip against the engine's export, RTF timer."""
+
+import time
+
+import numpy as np
+
+from sspv_tpu.config import Config
+from sspv_tpu.utils import RealTimeFactor, load_session, validate_session
+
+
+def test_npz_roundtrip_with_engine(tmp_path):
+    from sspv_tpu.runtime import AudioRuntime
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_runtime_engine import DummyAudioSource, _run_engine_to_eof
+
+    rt = AudioRuntime(audio_source=DummyAudioSource(duration_sec=0.3))
+    rt.auto_stop_on_eof = True
+    _run_engine_to_eof(rt)
+    path = rt.save_data(str(tmp_path))
+
+    s = load_session(path)
+    assert validate_session(s) == []
+    assert s.sample_rate == Config.SAMPLE_RATE
+    assert s.num_frames > 0
+    assert 0 < s.duration_seconds < 1.0
+    e, _, v = rt.get_recent_processed(max_display=10**6)
+    np.testing.assert_allclose(s.energies, e)
+    np.testing.assert_array_equal(s.vads, v)
+
+
+def test_load_session_rejects_missing_keys(tmp_path):
+    import pytest
+
+    p = tmp_path / "bad.npz"
+    np.savez(p, energies=np.zeros(3))
+    with pytest.raises(ValueError, match="missing keys"):
+        load_session(str(p))
+
+
+def test_validate_session_flags_mismatch(tmp_path):
+    p = tmp_path / "x.npz"
+    np.savez(
+        p,
+        energies=np.zeros(3), zcrs=np.zeros(2), vads=np.array([0, 1, 2]),
+        spec_entropy=np.zeros(3, np.float32),
+        vads_adaptive=np.zeros(3, np.float32),
+        sample_rate=np.int32(16000), frame_size=np.int32(320),
+        hop_size=np.int32(160),
+    )
+    problems = validate_session(load_session(str(p)))
+    assert any("zcrs" in m for m in problems)
+    assert any("binary" in m for m in problems)
+
+
+def test_real_time_factor():
+    rtf = RealTimeFactor(audio_seconds=1.0)
+    with rtf:
+        time.sleep(0.02)
+    assert rtf.elapsed >= 0.02
+    assert rtf.speedup <= 50.0
+    assert np.isclose(rtf.factor * rtf.speedup, 1.0)
