@@ -46,6 +46,8 @@ def main() -> None:
         files = collect_audio_files(input_dir)
         if files:
             audio_source = PlaylistAudioSource(files, sample_rate=Config.SAMPLE_RATE)
+    elif os.environ.get("RTP_INTERACTIVE", "").lower() in {"1", "true", "yes"}:
+        audio_source = interactive_choose_audio_source()
 
     runtime = AudioRuntime(audio_source=audio_source)
     if audio_source is not None:
@@ -66,6 +68,52 @@ def main() -> None:
 
     ui = VisualizationUI(runtime, **kwargs)
     ui.run()
+
+
+def interactive_choose_audio_source():
+    """Console source chooser (opt-in via RTP_INTERACTIVE=1): pick a path or
+    auto-scan the default audio directory, then test all files or one.
+    Returns an AudioSource or None (microphone)."""
+    from .runtime.audio_source import FileAudioSource, PlaylistAudioSource
+    from .ui import collect_audio_files, default_audio_dir
+
+    def pick_from(files):
+        if not files:
+            return None
+        print(f"found {len(files)} audio file(s).")
+        print("1) test all  2) test one")
+        if (input("choose 1/2 [1]: ").strip() or "1") == "2":
+            for i, f in enumerate(files, 1):
+                print(f"{i}. {os.path.basename(f)}")
+            try:
+                idx = int(input("file number [1]: ") or "1")
+            except ValueError:
+                idx = 1
+            files = [files[max(1, min(idx, len(files))) - 1]]
+        return PlaylistAudioSource(files, sample_rate=Config.SAMPLE_RATE)
+
+    try:
+        default_dir = default_audio_dir()
+        print("\naudio source:")
+        print(f"1) auto-scan default directory: {default_dir}")
+        print("2) custom path (file or directory)")
+        choice = input("choose 1/2 [1]: ").strip() or "1"
+        if choice == "2":
+            path = input("file or directory path: ").strip().strip('"')
+            if os.path.isfile(path):
+                return FileAudioSource(path, sample_rate=Config.SAMPLE_RATE)
+            if os.path.isdir(path):
+                src = pick_from(collect_audio_files(path))
+                if src is not None:
+                    return src
+            print("path invalid or empty; falling back to the default dir.")
+        src = pick_from(collect_audio_files(default_dir))
+        if src is None:
+            print("no audio files found; using the microphone.")
+        return src
+    except Exception as e:
+        print(f"source selection failed ({e}); using the microphone.")
+        return None
 
 
 if __name__ == "__main__":
