@@ -95,8 +95,9 @@ class Config:
     # deque(maxlen=256) (engine.py:96-97).
     VAD_HISTORY_LEN = 256
     # Frame-block bucket sizes used by the streaming engine so jit sees a
-    # small, fixed set of shapes (see runtime/streaming.py).
-    TPU_STREAM_BUCKETS = (8, 32, 128, 512, 2048)
+    # small, fixed set of shapes (see runtime/engine.py). Few buckets on
+    # purpose: each shape is a separate XLA compile.
+    TPU_STREAM_BUCKETS = (32, 256, 2048)
     # Use the fused Pallas kernel on the offline batch path when available.
     TPU_USE_PALLAS = True
 
