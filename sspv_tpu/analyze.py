@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Offline single-file analyzer.
+
+The reference's README documents an ``analyze_file.py`` utility that is
+absent from its snapshot (SURVEY.md §2 note); this module provides that
+capability on the TPU pipeline: decode a file, run the fused
+frame→feature→VAD pipeline in one device call, print a summary, and
+optionally render the four-plot PNG and export the features.
+
+    python -m sspv_tpu.analyze INPUT [--png OUT.png] [--npz OUT.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from .config import Config
+
+
+def analyze_file(path: str, png: str | None = None, npz: str | None = None) -> dict:
+    import jax
+
+    from .ops.pipeline import FeatureConfig, FeaturePipeline
+    from .ops.pitch import pitch_track
+    from .runtime.audio_source import FileAudioSource
+    from .utils.native import frame_i16_to_f32
+
+    src = FileAudioSource(path, sample_rate=Config.SAMPLE_RATE)
+    src.open()
+    pcm = src.read(1 << 62)
+    src.close()
+
+    pipe = FeaturePipeline(FeatureConfig.from_config(Config))
+    block, _ = pipe.process_signal(pcm)
+    jax.block_until_ready(block)
+
+    energy = np.asarray(block.energy)
+    zcr = np.asarray(block.zcr)
+    entropy = np.asarray(block.entropy)
+    vad = np.asarray(block.vad)
+    mfcc = np.asarray(block.mfcc)
+    frames = frame_i16_to_f32(pcm, Config.FRAME_SIZE, Config.HOP_SIZE)
+    f0, conf = (
+        pitch_track(frames, vad, Config.SAMPLE_RATE)
+        if frames.shape[0]
+        else (np.zeros(0, np.float32), np.zeros(0, np.float32))
+    )
+    f0 = np.asarray(f0)
+
+    voiced_f0 = f0[f0 > 0]
+    summary = {
+        "file": path,
+        "duration_s": round(len(pcm) / Config.SAMPLE_RATE, 3),
+        "frames": int(energy.shape[0]),
+        "voiced_frames": int(vad.sum()),
+        "voiced_pct": round(float(vad.mean()) * 100, 1) if vad.size else 0.0,
+        "mean_energy": float(energy.mean()) if energy.size else 0.0,
+        "mean_zcr": round(float(zcr.mean()), 4) if zcr.size else 0.0,
+        "mean_entropy": round(float(entropy.mean()), 3) if entropy.size else 0.0,
+        "median_f0_hz": round(float(np.median(voiced_f0)), 1) if voiced_f0.size else None,
+    }
+
+    if npz:
+        np.savez(
+            npz,
+            energies=energy.astype(np.float64),
+            zcrs=zcr.astype(np.float64),
+            vads=vad.astype(np.int32),
+            spec_entropy=entropy.astype(np.float32),
+            vads_adaptive=np.asarray(block.vad_adaptive, np.float32),
+            mfcc=mfcc.astype(np.float32),
+            f0=f0.astype(np.float32),
+            sample_rate=np.int32(Config.SAMPLE_RATE),
+            frame_size=np.int32(Config.FRAME_SIZE),
+            hop_size=np.int32(Config.HOP_SIZE),
+        )
+        summary["npz"] = npz
+
+    if png:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(5, 1, figsize=(11, 10))
+        fig.suptitle(f"sspv_tpu analysis: {path}")
+        axes[0].plot(pcm, lw=0.3, color="#4fc3f7")
+        axes[0].set_ylabel("waveform")
+        axes[1].plot(energy, lw=0.8, color="#ffb74d")
+        axes[1].set_ylabel("energy")
+        axes[2].plot(zcr, lw=0.8, color="#aed581")
+        axes[2].set_ylabel("zcr")
+        axes[3].fill_between(np.arange(vad.size), 0, vad, step="mid",
+                             color="#e57373", alpha=0.7)
+        axes[3].set_ylabel("vad")
+        masked = np.where(f0 > 0, f0, np.nan)
+        axes[4].plot(masked, ".", ms=2, color="#ba68c8")
+        axes[4].set_ylabel("f0 (Hz)")
+        axes[4].set_xlabel("frame")
+        fig.tight_layout()
+        fig.savefig(png, dpi=100)
+        plt.close(fig)
+        summary["png"] = png
+
+    return summary
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("input", help="audio file to analyze")
+    parser.add_argument("--png", help="render plots to this PNG")
+    parser.add_argument("--npz", help="export features to this npz")
+    args = parser.parse_args(argv)
+
+    Config.setup_logging()
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    summary = analyze_file(args.input, png=args.png, npz=args.npz)
+    import json
+
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
