@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Stability soak: run the streaming engine continuously and watch for
+drift — frame-rate stalls, memory growth, dropped errors.
+
+The reference claims 24 h continuous operation with no crashes or leaks
+(BASELINE.md) but ships no tooling to demonstrate it; this harness is that
+tooling. A looping synthetic source streams indefinitely; every interval we
+sample frames-processed and RSS.
+
+    python examples/soak.py [seconds]   # default 60
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+class LoopingSource:
+    """Endless synthetic speech-like source (AudioSource contract)."""
+
+    def __init__(self, sample_rate: int):
+        self.sample_rate = sample_rate
+        self.channels = 1
+        self.exhausted = False
+        rng = np.random.default_rng(0)
+        n = 10 * sample_rate
+        t = np.arange(n) / sample_rate
+        seg = (t * 2).astype(int) % 4
+        sig = rng.normal(0, 30, n)
+        sig = np.where(seg == 1, 7000 * np.sin(2 * np.pi * 150 * t), sig)
+        sig = np.where(seg == 2, rng.normal(0, 2000, n), sig)
+        self._d = np.clip(sig, -32768, 32767).astype(np.int16)
+        self._p = 0
+        self._t0 = None
+
+    def open(self):
+        self._p = 0
+        self._t0 = time.monotonic()
+
+    def read(self, k):
+        # pace to real time like a microphone would
+        target = int((time.monotonic() - self._t0) * self.sample_rate)
+        if self._p >= target:
+            time.sleep(k / self.sample_rate / 4)
+            return np.array([], np.int16)
+        out = np.empty(k, np.int16)
+        got = 0
+        while got < k:
+            take = min(k - got, len(self._d) - self._p % len(self._d))
+            s = self._p % len(self._d)
+            out[got:got + take] = self._d[s:s + take]
+            got += take
+            self._p += take
+        return out
+
+    def close(self):
+        pass
+
+
+def rss_mb() -> float:
+    with open(f"/proc/{os.getpid()}/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def main(argv) -> int:
+    seconds = float(argv[0]) if argv else 60.0
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from sspv_tpu.config import Config
+    from sspv_tpu.runtime import AudioRuntime
+    from sspv_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    rt = AudioRuntime(audio_source=LoopingSource(Config.SAMPLE_RATE))
+    rt.start()
+    t0 = time.time()
+    ok = True
+    try:
+        while time.time() - t0 < seconds:
+            time.sleep(5.0)
+            elapsed = time.time() - t0
+            e, _, v = rt.get_recent_processed()
+            print(
+                f"t={elapsed:6.1f}s rss={rss_mb():7.1f}MB "
+                f"recent_frames={e.size} voiced={int(v.sum()) if v.size else 0} "
+                f"err={rt.last_error}",
+                flush=True,
+            )
+            if rt.last_error is not None or e.size == 0:
+                ok = False
+                break
+    finally:
+        rt.stop()
+    print("soak:", "PASS" if ok and rt.last_error is None else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
