@@ -213,7 +213,9 @@ class AudioRuntime:
         for b in self._buckets:
             if n <= b:
                 return b
-        return -(-n // self._buckets[-1]) * self._buckets[-1]
+        # callers split blocks larger than the top bucket (_process_loop), so
+        # the compiled shape set stays fixed
+        return self._buckets[-1]
 
     def _dispatch(self, frames: np.ndarray):
         """Pad to a bucket and enqueue one fused device call (non-blocking)."""
@@ -257,6 +259,18 @@ class AudioRuntime:
     def _process_loop(self) -> None:
         carry = np.zeros((0,), dtype=np.int16)
         inflight = None  # double buffer: one block in flight
+        max_bucket = self._buckets[-1]
+
+        def dispatch_split(frames, inflight):
+            """Dispatch ``frames`` in <=max_bucket slices, keeping exactly one
+            block in flight (shape set stays fixed; pipelining preserved)."""
+            for lo in range(0, frames.shape[0], max_bucket):
+                nxt = self._dispatch(frames[lo : lo + max_bucket])
+                if inflight is not None:
+                    self._materialize(inflight)
+                inflight = nxt
+            return inflight
+
         try:
             while self.is_running:
                 frames, carry = self._take_frames(carry)
@@ -266,16 +280,15 @@ class AudioRuntime:
                         inflight = None
                     time.sleep(Config.THREAD_SLEEP_TIME)
                     continue
-                next_inflight = self._dispatch(frames)
-                if inflight is not None:
-                    self._materialize(inflight)
-                inflight = next_inflight
+                inflight = dispatch_split(frames, inflight)
             # drain: publish the last in-flight block and any tail frames
             if inflight is not None:
                 self._materialize(inflight)
+                inflight = None
             frames, carry = self._take_frames(carry)
             if frames.shape[0]:
-                self._materialize(self._dispatch(frames))
+                inflight = dispatch_split(frames, None)
+                self._materialize(inflight)
         except Exception as e:
             self.last_error = e
             logger.exception("processing thread failed: %s", e)

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Engine bucketing: drains larger than the top bucket must split into the
+fixed shape set and still produce sequential-oracle-exact results."""
+
+import sys
+import os
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from sspv_tpu.config import Config
+from sspv_tpu.runtime import AudioRuntime
+
+from test_runtime_engine import DummyAudioSource, _run_engine_to_eof
+import oracle
+
+
+def test_oversized_drain_splits_into_fixed_buckets(monkeypatch):
+    # tiny buckets force many splits; 0.9 s => 89 frames > 3 * top bucket
+    monkeypatch.setattr(Config, "TPU_STREAM_BUCKETS", (8, 16))
+    rng = np.random.default_rng(4)
+    n = int(0.9 * Config.SAMPLE_RATE)
+    sig = (rng.normal(0, 2500, n)).astype(np.int16)
+
+    rt = AudioRuntime(audio_source=DummyAudioSource(signal=sig))
+    assert rt._buckets == (8, 16)
+    seen = []
+    orig = rt._dispatch
+
+    def spy(frames):
+        seen.append(frames.shape[0])
+        return orig(frames)
+
+    rt._dispatch = spy
+    rt.auto_stop_on_eof = True
+    _run_engine_to_eof(rt)
+
+    assert max(seen) <= 16, seen
+    energies, zcrs, vads = rt.get_recent_processed(max_display=10**6)
+    nf = 1 + (n - Config.FRAME_SIZE) // Config.HOP_SIZE
+    assert energies.size == nf
+
+    # oracle comparison across the split dispatches
+    idx = np.arange(Config.FRAME_SIZE)[None, :] + Config.HOP_SIZE * np.arange(nf)[:, None]
+    frames = (sig[idx].astype(np.float32) * oracle.hamming(Config.FRAME_SIZE))
+    e = oracle.short_time_energy(frames)
+    z = oracle.zero_crossing_rate(frames)
+    h = oracle.spectral_entropy(frames, Config.SPECTRAL_ENTROPY_N_FFT)
+    ref = oracle.EngineVadOracle(
+        energy_threshold=Config.ENERGY_THRESHOLD,
+        zcr_threshold=Config.ZCR_THRESHOLD,
+        entropy_voice_max=Config.SPECTRAL_ENTROPY_VOICE_MAX,
+        use_adaptive=Config.USE_ADAPTIVE_VAD,
+        alpha_raw=Config.ADAPTIVE_VAD_ENERGY_K,
+        hangover_on=Config.VAD_HANGOVER_ON,
+        release_off=Config.VAD_RELEASE_OFF,
+    )
+    want_vad, _ = ref.run_all(e, z, h)
+    np.testing.assert_allclose(energies, e, rtol=1e-5)
+    np.testing.assert_array_equal(vads, want_vad)
