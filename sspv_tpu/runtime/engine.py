@@ -233,14 +233,22 @@ class AudioRuntime:
         return block, n
 
     def _materialize(self, inflight) -> None:
-        """Bring one dispatched block's results to the host and publish them."""
+        """Bring one dispatched block's results to the host and publish them.
+
+        One batched device_get for the whole block: per-array fetches each
+        pay a full host<->device round-trip, which on tunneled hardware is
+        ~200 ms — 6x that per block throttled the engine below real time.
+        """
+        import jax
+
         block, n = inflight
-        energy = np.asarray(block.energy)[:n]
-        zcr = np.asarray(block.zcr)[:n]
-        entropy = np.asarray(block.entropy)[:n]
-        vad = np.asarray(block.vad)[:n]
-        vad_adaptive = np.asarray(block.vad_adaptive)[:n]
-        mfcc = np.asarray(block.mfcc)[:n]
+        host = jax.device_get(block)
+        energy = host.energy[:n]
+        zcr = host.zcr[:n]
+        entropy = host.entropy[:n]
+        vad = host.vad[:n]
+        vad_adaptive = host.vad_adaptive[:n]
+        mfcc = host.mfcc[:n]
         with self.lock:
             for i in range(n):
                 self.energy_history.append(float(energy[i]))
