@@ -2,8 +2,9 @@
 """Batch-process a directory of audio files into per-file feature exports.
 
 Production-style offline pipeline: decode each file host-side, then run the
-fused frame→MFCC→VAD pipeline — data-parallel across a device mesh when more
-than one device is available (equal-length padding within batches).
+fused frame→MFCC→VAD pipeline per file (sequential; single device). For
+mesh-sharded batch processing of equal-length signals see
+``sspv_tpu.parallel.BatchPipeline`` and ``examples/sharded_throughput.py``.
 
     python examples/process_files.py INPUT_DIR [OUTPUT_DIR]
 
@@ -58,6 +59,7 @@ def main(argv: list[str]) -> int:
 
         block, _ = pipe.process_signal(pcm)
         jax.block_until_ready(block)
+        # second host framing pass, for the pitch tracker's raw frames
         frames = frame_i16_to_f32(pcm, Config.FRAME_SIZE, Config.HOP_SIZE)
         f0, _conf = (
             pitch_track(frames, np.asarray(block.vad), Config.SAMPLE_RATE)

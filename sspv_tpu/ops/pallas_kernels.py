@@ -61,6 +61,7 @@ def _feature_kernel(
     *,
     frame_size: int,
     n_bins: int,
+    compute_entropy: bool = True,
 ):
     x = frames_ref[:]  # (BF, frame_size) f32
     w = window_ref[:]  # (1, frame_size)
@@ -104,16 +105,22 @@ def _feature_kernel(
     mfcc_ref[:] = mfcc * lifter_ref[:]
 
     # Spectral entropy from the shared power spectrum
-    # (frequency_features.py:183-196).
-    psum = jnp.sum(power, axis=1, keepdims=True)
-    pn = jnp.where(psum > 0, power / psum, jnp.float32(0.0))
-    pn = jnp.maximum(pn, jnp.float32(1e-12))
-    ent = -jnp.sum(pn * jnp.log(pn), axis=1, keepdims=True)
-    entropy_ref[:] = ent / jnp.float32(np.log(n_bins))
+    # (frequency_features.py:183-196). Skipped (zero-filled) when a distinct
+    # entropy FFT size is configured — the wrapper computes it separately.
+    if compute_entropy:
+        psum = jnp.sum(power, axis=1, keepdims=True)
+        pn = jnp.where(psum > 0, power / psum, jnp.float32(0.0))
+        pn = jnp.maximum(pn, jnp.float32(1e-12))
+        ent = -jnp.sum(pn * jnp.log(pn), axis=1, keepdims=True)
+        entropy_ref[:] = ent / jnp.float32(np.log(n_bins))
+    else:
+        entropy_ref[:] = jnp.zeros_like(entropy_ref)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("frame_size", "n_bins", "num_ceps", "block_frames")
+    jax.jit,
+    static_argnames=("frame_size", "n_bins", "num_ceps", "block_frames",
+                     "compute_entropy"),
 )
 def _fused_call(
     frames,
@@ -128,6 +135,7 @@ def _fused_call(
     n_bins: int,
     num_ceps: int,
     block_frames: int,
+    compute_entropy: bool = True,
 ):
     f_pad = frames.shape[0]
     grid = (f_pad // block_frames,)
@@ -140,7 +148,8 @@ def _fused_call(
 
     const = lambda shape: vmem_spec(shape, lambda i: (0, 0))
     kernel = functools.partial(
-        _feature_kernel, frame_size=frame_size, n_bins=n_bins
+        _feature_kernel, frame_size=frame_size, n_bins=n_bins,
+        compute_entropy=compute_entropy,
     )
     out_shapes = (
         jax.ShapeDtypeStruct((f_pad, 1), jnp.float32),  # energy
@@ -210,6 +219,7 @@ def fused_features(
         n_bins=n_bins,
         num_ceps=num_ceps,
         block_frames=block_frames,
+        compute_entropy=entropy_bases[0] is None,
     )
     out = {
         "energy": energy[:f, 0],

@@ -242,17 +242,26 @@ class FeaturePipeline:
         n = 1 + (length - c.frame_size) // c.hop_size
         x = jnp.asarray(signal, dtype=jnp.float32)
         if c.frame_size % c.hop_size == 0:
+            # frame i = rows i..i+k-1 of the (hops, hop) view; by construction
+            # of n, (n-1+k)*hop = (n-1)*hop + frame_size <= length.
             k = c.frame_size // c.hop_size
-            total_hops = n - 1 + k
-            need = total_hops * c.hop_size
-            x = x[:need] if need <= length else jnp.pad(x, (0, need - length))
-            rows = x.reshape(total_hops, c.hop_size)
+            rows = x[: (n - 1 + k) * c.hop_size].reshape(n - 1 + k, c.hop_size)
             return jnp.concatenate([rows[i : i + n] for i in range(k)], axis=1)
         idx = (
             np.arange(c.frame_size)[None, :]
             + np.arange(n)[:, None] * c.hop_size
         ).astype(np.int32)
         return x[jnp.asarray(idx)]
+
+    def _empty_block(self) -> FeatureBlock:
+        return FeatureBlock(
+            energy=jnp.zeros((0,), jnp.float32),
+            zcr=jnp.zeros((0,), jnp.float32),
+            entropy=jnp.zeros((0,), jnp.float32),
+            mfcc=jnp.zeros((0, self.cfg.num_ceps), jnp.float32),
+            vad=jnp.zeros((0,), jnp.int32),
+            vad_adaptive=jnp.zeros((0,), jnp.int32),
+        )
 
     # Frames per lax.scan step on the long-signal path. The scan keeps the
     # compiled program size independent of signal length (one block body +
@@ -270,16 +279,7 @@ class FeaturePipeline:
         frames = self._device_stream_frames(signal)
         f = int(frames.shape[0])
         if f == 0:
-            c = self.cfg
-            empty = FeatureBlock(
-                energy=jnp.zeros((0,), jnp.float32),
-                zcr=jnp.zeros((0,), jnp.float32),
-                entropy=jnp.zeros((0,), jnp.float32),
-                mfcc=jnp.zeros((0, c.num_ceps), jnp.float32),
-                vad=jnp.zeros((0,), jnp.int32),
-                vad_adaptive=jnp.zeros((0,), jnp.int32),
-            )
-            return empty, state
+            return self._empty_block(), state
         b = self.SCAN_BLOCK_FRAMES
         if f <= b:
             return self._process_block_impl(frames, state, None)
@@ -320,9 +320,15 @@ class FeaturePipeline:
         )
 
     def stream_frames(self, samples: np.ndarray) -> np.ndarray:
-        """Streaming-style framing: only full frames, no tail padding
-        (engine.py:240-242 semantics). Returns raw float32 frames."""
+        """Streaming-style framing on the host: only full frames, no tail
+        padding (engine.py:240-242 semantics). Returns raw float32 frames.
+        int16 input goes through the fused native kernel."""
         c = self.cfg
+        samples = np.asarray(samples)
+        if samples.dtype == np.int16:
+            from ..utils.native import frame_i16_to_f32
+
+            return frame_i16_to_f32(samples, c.frame_size, c.hop_size)
         n = len(samples)
         if n < c.frame_size:
             return np.zeros((0, c.frame_size), dtype=np.float32)
@@ -331,7 +337,7 @@ class FeaturePipeline:
             np.arange(c.frame_size)[None, :]
             + np.arange(f)[:, None] * c.hop_size
         )
-        return np.asarray(samples, dtype=np.float32)[idx]
+        return samples.astype(np.float32)[idx]
 
     def process_signal_device(
         self, signal, state: vad_ops.VadState | None = None
@@ -359,17 +365,8 @@ class FeaturePipeline:
             frames = self.stream_frames(sig)
         if state is None:
             state = self.initial_state()
-        f = int(frames.shape[0])
-        if f == 0:
-            empty = FeatureBlock(
-                energy=jnp.zeros((0,), jnp.float32),
-                zcr=jnp.zeros((0,), jnp.float32),
-                entropy=jnp.zeros((0,), jnp.float32),
-                mfcc=jnp.zeros((0, c.num_ceps), jnp.float32),
-                vad=jnp.zeros((0,), jnp.int32),
-                vad_adaptive=jnp.zeros((0,), jnp.int32),
-            )
-            return empty, state
+        if int(frames.shape[0]) == 0:
+            return self._empty_block(), state
         return self.process_block(frames, state)
 
 

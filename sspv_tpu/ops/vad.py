@@ -163,19 +163,25 @@ def hangover_smooth(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Hangover/release smoothing via cummax of voiced indices.
 
-    Equivalent to the sequential automaton (engine.py:275-288) for
-    ``hangover_on >= 1`` and ``release_off >= 1``: the smoothed output is 1
-    iff the distance to the last initially-voiced frame (with a virtual
-    voiced frame at ``-(ON+1)`` before the stream) is < ``ON + OFF``.
+    Equivalent to the sequential automaton (engine.py:275-288) for all
+    ``hangover_on >= 0`` and ``release_off >= 0``: with ``d`` the distance to
+    the last initially-voiced frame (virtual voiced frame at ``-(ON+1)``
+    before the stream), the smoothed output is 1 iff
+    ``d < ON + max(OFF, 1)`` — the hold covers d in 1..ON, and the release
+    counter emits a further OFF-1 voiced frames (none when OFF <= 1).
+    Asserted equal to the ``lax.scan`` transliteration
+    (``hangover_smooth_scan``) over randomized configs in tests.
     Returns ``(vad_int32, new_last_voiced)``.
     """
     f = vad_initial.shape[0]
+    on = max(int(hangover_on), 0)
+    off = max(int(release_off), 0)
     idx = jnp.arange(f, dtype=jnp.int32)
     seeds = jnp.where(vad_initial, idx, _NEG_LARGE)
     last = jax.lax.associative_scan(jnp.maximum, seeds)
     last = jnp.maximum(last, last_voiced)
     d = idx - last
-    vad = (d < jnp.int32(int(hangover_on) + int(release_off))).astype(jnp.int32)
+    vad = (d < jnp.int32(on + max(off, 1))).astype(jnp.int32)
     new_last_voiced = last[-1] - jnp.int32(f) if f else last_voiced
     return vad, new_last_voiced
 

@@ -48,6 +48,24 @@ logger = logging.getLogger(__name__)
 __all__ = ["AudioRuntime"]
 
 
+def _parse_buckets(value) -> tuple[int, ...]:
+    """Normalize TPU_STREAM_BUCKETS from tuple/list or an env-var string like
+    ``"64,512"`` (Config.load_from_env assigns raw strings to non-numeric
+    attributes); falls back to the default set on garbage."""
+    default = (32, 256, 2048)
+    try:
+        if isinstance(value, str):
+            parts = [p for p in value.replace(",", " ").split() if p]
+            value = [int(p) for p in parts]
+        buckets = tuple(sorted(int(v) for v in value))
+        if not buckets or any(b <= 0 for b in buckets):
+            raise ValueError(value)
+        return buckets
+    except Exception:
+        logger.warning("invalid TPU_STREAM_BUCKETS %r; using %r", value, default)
+        return default
+
+
 def _default_mic_source() -> PyAudioSource:
     return PyAudioSource(
         sample_rate=Config.SAMPLE_RATE,
@@ -103,9 +121,17 @@ class AudioRuntime:
         self._capture_thread: threading.Thread | None = None
         self._process_thread: threading.Thread | None = None
         self._pending: list[np.ndarray] = []  # captured, not yet processed
+        self._pending_samples = 0
+        # Backpressure bound on the capture backlog (samples). The reference
+        # uses a lossy 4-chunk deque (engine.py:90); we block the producer
+        # instead so file/playlist input is lossless even when the device
+        # path stalls (e.g. first-compile).
+        self._max_pending = int(
+            float(getattr(Config, "TPU_MAX_PENDING_SECONDS", 30.0)) * self.rate
+        ) or (Config.AUDIO_BUFFER_SIZE * Config.CHUNK_SIZE)
         self._vad_state: vad_ops.VadState = self.pipeline.initial_state()
-        self._buckets = tuple(
-            sorted(getattr(Config, "TPU_STREAM_BUCKETS", (8, 32, 128, 512, 2048)))
+        self._buckets = _parse_buckets(
+            getattr(Config, "TPU_STREAM_BUCKETS", (32, 256, 2048))
         )
 
     # ------------------------------------------------------------------
@@ -126,6 +152,7 @@ class AudioRuntime:
         self.auto_stop_on_eof = bool(auto_stop_on_eof)
         with self.lock:
             self._pending.clear()
+            self._pending_samples = 0
             self.processed_data.clear()
             self.energy_history.clear()
             self.zcr_history.clear()
@@ -182,11 +209,19 @@ class AudioRuntime:
                     time.sleep(Config.THREAD_SLEEP_TIME)
                     continue
                 arr = np.asarray(data, dtype=np.int16)
+                # backpressure: block (not drop) while the device path digests
+                while self._pending_samples >= self._max_pending and self.is_running:
+                    time.sleep(Config.THREAD_SLEEP_TIME)
                 with self.lock:
                     self._pending.append(arr)
+                    self._pending_samples += len(arr)
                     self.audio_display_buffer.append(arr.copy())
         except Exception as e:
             self.last_error = e
+            # Stop the engine: a dead capture thread can never produce data
+            # or reach EOF, so leaving is_running True would hang headless
+            # consumers forever. The error is preserved in last_error.
+            self.is_running = False
             logger.exception("audio capture thread failed: %s", e)
         finally:
             try:
@@ -200,6 +235,7 @@ class AudioRuntime:
         with self.lock:
             chunks = self._pending
             self._pending = []
+            self._pending_samples = 0
         if chunks:
             carry = np.concatenate([carry] + chunks)
         if len(carry) < self.frame_size:
@@ -299,6 +335,7 @@ class AudioRuntime:
                 self._materialize(inflight)
         except Exception as e:
             self.last_error = e
+            self.is_running = False  # see capture-thread note: don't hang pollers
             logger.exception("processing thread failed: %s", e)
 
     # ------------------------------------------------------------------

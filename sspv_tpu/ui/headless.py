@@ -54,6 +54,9 @@ class HeadlessVisualizer:
         last_status = 0.0
         try:
             while self.runtime.is_running:
+                if getattr(self.runtime, "last_error", None) is not None:
+                    logger.error("runtime error: %s", self.runtime.last_error)
+                    break
                 self.model.poll()
                 now = time.time()
                 if now - last_status >= 1.0:

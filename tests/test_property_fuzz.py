@@ -76,8 +76,8 @@ def test_streaming_vad_fuzz(seed):
     e_th = float(rng.uniform(100, 1e5))
     z_th = float(rng.uniform(0.05, 0.5))
     h_th = float(rng.uniform(0.3, 0.9))
-    on = int(rng.integers(1, 6))
-    off = int(rng.integers(1, 6))
+    on = int(rng.integers(0, 6))
+    off = int(rng.integers(0, 6))
     alpha = float(rng.uniform(0, 4.0))
 
     ref = oracle.EngineVadOracle(

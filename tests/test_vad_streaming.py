@@ -29,7 +29,7 @@ def synth_features(n=400, seed=0):
 
 def test_hangover_parallel_equals_scan():
     rng = np.random.default_rng(3)
-    for on, off in [(3, 2), (1, 1), (5, 3), (2, 7)]:
+    for on, off in [(3, 2), (1, 1), (5, 3), (2, 7), (3, 0), (0, 2), (0, 0), (4, 1)]:
         v = jnp.asarray(rng.random(300) < 0.3)
         par, _ = vad_ops.hangover_smooth(v, jnp.int32(-(on + 1)), on, off)
         seq, _ = vad_ops.hangover_smooth_scan(
