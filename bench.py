@@ -70,10 +70,16 @@ def main() -> None:
 
     reps = 5
     times = []
+    voiced = 0
     for _ in range(reps):
         t0 = time.perf_counter()
         block, _ = pipe.process_signal_device(sig, state0)
         jax.block_until_ready(block)
+        # force end-to-end completion with a result consume: on experimental
+        # remote backends block_until_ready alone has been observed to return
+        # before execution, which would overstate throughput by orders of
+        # magnitude. The scalar fetch costs one transfer round-trip.
+        voiced = int(jax.device_get(block.vad[-1]))
         times.append(time.perf_counter() - t0)
     best = min(times)
     audio_sec_per_sec = seconds / best
