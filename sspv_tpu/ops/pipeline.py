@@ -349,6 +349,30 @@ class FeaturePipeline:
             state = self.initial_state()
         return self._signal_jit(jnp.asarray(signal, dtype=jnp.float32), state)
 
+    def stream(self, chunks, state: vad_ops.VadState | None = None):
+        """Generator API over an iterable of 1-D sample chunks (any dtype):
+        carries the overlap tail and VadState across chunks and yields a
+        ``FeatureBlock`` per chunk that completed >=1 frame. The functional
+        counterpart of the AudioRuntime engine for library consumers.
+
+        >>> for block in pipe.stream(wav_chunks):
+        ...     consume(np.asarray(block.vad))
+        """
+        c = self.cfg
+        if state is None:
+            state = self.initial_state()
+        carry = np.zeros((0,), dtype=np.float32)
+        for chunk in chunks:
+            chunk = np.asarray(chunk)
+            carry = np.concatenate([carry, chunk.astype(np.float32)])
+            frames = self.stream_frames(carry)
+            n = frames.shape[0]
+            if n == 0:
+                continue
+            carry = carry[n * c.hop_size :]
+            block, state = self.process_block(frames, state)
+            yield block
+
     def process_signal(
         self, signal, state: vad_ops.VadState | None = None, pad_tail: bool = False
     ) -> tuple[FeatureBlock, vad_ops.VadState]:
