@@ -266,9 +266,10 @@ class FeaturePipeline:
     # Frames per lax.scan step on the long-signal path. The scan keeps the
     # compiled program size independent of signal length (one block body +
     # a loop), which matters here because compiles go through a slow remote
-    # service; 8192 frames = ~13 s of audio per step keeps each step's
-    # matmuls comfortably MXU-sized.
-    SCAN_BLOCK_FRAMES = 8192
+    # service. 32768 frames = ~52 s of audio per step: per-step overhead was
+    # the dominant cost at 8192 (78 ms for 44 steps over an hour of audio),
+    # and a 32k x 320 block still sits far below VMEM/HBM limits.
+    SCAN_BLOCK_FRAMES = 32768
 
     def _process_signal_impl(self, signal: jnp.ndarray, state: vad_ops.VadState):
         """signal (L,) f32 -> (FeatureBlock, VadState), entirely on device:
