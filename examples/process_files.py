@@ -1,10 +1,13 @@
 #!/usr/bin/env python3
 """Batch-process a directory of audio files into per-file feature exports.
 
-Production-style offline pipeline: decode each file host-side, then run the
-fused frame→MFCC→VAD pipeline per file (sequential; single device). For
-mesh-sharded batch processing of equal-length signals see
-``sspv_tpu.parallel.BatchPipeline`` and ``examples/sharded_throughput.py``.
+Production-style offline pipeline: decode all files host-side, then run the
+fused frame→MFCC→VAD pipeline. With more than one device (and >1 file) the
+files are zero-padded to a common length and processed **data-parallel over
+the device mesh** via ``sspv_tpu.parallel.BatchPipeline``; per-file outputs
+are truncated back to each file's own frame count (padding follows the real
+audio, so it cannot affect preceding frames' adaptive state). Single device
+falls back to sequential per-file processing.
 
     python examples/process_files.py INPUT_DIR [OUTPUT_DIR]
 
@@ -22,6 +25,49 @@ import time
 import numpy as np
 
 
+def _decode_all(files, sample_rate):
+    from sspv_tpu.runtime.audio_source import FileAudioSource
+
+    pcms = []
+    for path in files:
+        src = FileAudioSource(path, sample_rate=sample_rate)
+        src.open()
+        pcms.append(src.read(1 << 62))
+        src.close()
+    return pcms
+
+
+def _blocks_sequential(pipe, pcms):
+    import jax
+
+    for pcm in pcms:
+        block, _ = pipe.process_signal(pcm)
+        jax.block_until_ready(block)
+        yield block, None
+
+
+def _blocks_sharded(pipe, pcms, hop, frame):
+    """Mesh-sharded batch path: pad to a common length and a mesh-divisible
+    batch, then slice each file's rows back out."""
+    import jax
+
+    from sspv_tpu.parallel import BatchPipeline, make_mesh
+
+    mesh = make_mesh()
+    bp = BatchPipeline(mesh, pipe.cfg)
+    max_len = max(len(p) for p in pcms)
+    dp = mesh.devices.shape[0]
+    b = -(-len(pcms) // dp) * dp
+    signals = np.zeros((b, max_len), dtype=np.float32)
+    for i, pcm in enumerate(pcms):
+        signals[i, : len(pcm)] = pcm
+    batch_block, _ = bp.process_batch(signals)
+    batch_block = jax.device_get(batch_block)
+    for i, pcm in enumerate(pcms):
+        nf = max(0, 1 + (len(pcm) - frame) // hop) if len(pcm) >= frame else 0
+        yield type(batch_block)(*(x[i][:nf] for x in batch_block)), nf
+
+
 def main(argv: list[str]) -> int:
     if not argv:
         print(__doc__)
@@ -35,7 +81,6 @@ def main(argv: list[str]) -> int:
     from sspv_tpu.config import Config
     from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
     from sspv_tpu.ops.pitch import pitch_track
-    from sspv_tpu.runtime.audio_source import FileAudioSource
     from sspv_tpu.ui.files import collect_audio_files
     from sspv_tpu.utils.cache import enable_persistent_cache
     from sspv_tpu.utils.native import frame_i16_to_f32
@@ -48,25 +93,23 @@ def main(argv: list[str]) -> int:
     os.makedirs(out_dir, exist_ok=True)
 
     pipe = FeaturePipeline(FeatureConfig.from_config(Config))
-    total_audio = 0.0
-    t_start = time.perf_counter()
-    for path in files:
-        src = FileAudioSource(path, sample_rate=Config.SAMPLE_RATE)
-        src.open()
-        pcm = src.read(1 << 62)
-        src.close()
-        total_audio += len(pcm) / Config.SAMPLE_RATE
+    pcms = _decode_all(files, Config.SAMPLE_RATE)
+    total_audio = sum(len(p) for p in pcms) / Config.SAMPLE_RATE
 
-        block, _ = pipe.process_signal(pcm)
-        jax.block_until_ready(block)
-        # second host framing pass, for the pitch tracker's raw frames
+    t_start = time.perf_counter()
+    sharded = len(jax.devices()) > 1 and len(files) > 1
+    blocks = (
+        _blocks_sharded(pipe, pcms, Config.HOP_SIZE, Config.FRAME_SIZE)
+        if sharded
+        else _blocks_sequential(pipe, pcms)
+    )
+    for path, pcm, (block, _nf) in zip(files, pcms, blocks):
         frames = frame_i16_to_f32(pcm, Config.FRAME_SIZE, Config.HOP_SIZE)
         f0, _conf = (
             pitch_track(frames, np.asarray(block.vad), Config.SAMPLE_RATE)
             if frames.shape[0]
             else (np.zeros(0, np.float32), None)
         )
-
         name = os.path.splitext(os.path.basename(path))[0]
         out = os.path.join(out_dir, f"{name}.features.npz")
         np.savez(
@@ -86,9 +129,10 @@ def main(argv: list[str]) -> int:
 
     elapsed = time.perf_counter() - t_start
     if elapsed > 0:
+        mode = "mesh-sharded" if sharded else "sequential"
         print(
             f"processed {total_audio:.1f}s of audio in {elapsed:.2f}s "
-            f"({total_audio/elapsed:.1f}x real-time, incl. decode & compile)"
+            f"({total_audio/elapsed:.1f}x real-time, {mode}, incl. compile)"
         )
     return 0
 

@@ -31,6 +31,7 @@ from .vad import (
     initial_vad_state,
 )
 from .pipeline import FeatureConfig, FeatureBlock, FeaturePipeline
+from .pitch import pitch_from_frames, pitch_track
 
 __all__ = [
     "hamming_window",
@@ -59,4 +60,6 @@ __all__ = [
     "FeatureConfig",
     "FeatureBlock",
     "FeaturePipeline",
+    "pitch_from_frames",
+    "pitch_track",
 ]
