@@ -204,8 +204,15 @@ class FeaturePipeline:
         state: vad_ops.VadState,
         valid: jnp.ndarray,
     ) -> tuple[FeatureBlock, vad_ops.VadState]:
-        c = self.cfg
         feats = self._features(frames_raw)
+        return self._vad_stage(feats, state, valid)
+
+    def _vad_stage(
+        self, feats: dict, state: vad_ops.VadState, valid
+    ) -> tuple[FeatureBlock, vad_ops.VadState]:
+        """Composite VAD over computed per-frame features (shared tail of the
+        frames-based and signal-view paths)."""
+        c = self.cfg
         vad, vad_adaptive, new_state = vad_ops.streaming_vad(
             feats["energy"],
             feats["zcr"],
@@ -253,6 +260,103 @@ class FeaturePipeline:
         ).astype(np.int32)
         return x[jnp.asarray(idx)]
 
+    def _window_strictly_positive(self) -> bool:
+        return bool(np.all(self._window > 0))
+
+    def _features_from_rows(self, rows: jnp.ndarray) -> dict:
+        """Per-frame features from a ``(F+1, hop)`` signal view, for the
+        50%-overlap geometry (frame_size == 2*hop): frame i is
+        ``concat(rows[i], rows[i+1])``.
+
+        Avoids materializing the 2x-duplicated frame matrix entirely — the
+        windowed DFT becomes two hop-phase matmuls against the top/bottom
+        halves of the windowed basis, energy a pair of matvecs against the
+        squared window halves, and ZCR a shared per-row sign-change count
+        plus a frame-boundary term. Requires a strictly positive window
+        (sign(x*w) == sign(x)); the hop-phase sums reassociate float adds vs
+        the frames path at the ~1e-7 relative level.
+        """
+        c = self.cfg
+        hop = c.hop_size
+        x = jnp.asarray(rows, dtype=jnp.float32)
+        top, bot = x[:-1], x[1:]
+
+        w = jnp.asarray(self._window)
+        w2 = w * w
+        energy = jnp.matmul(top * top, w2[:hop], precision=_HIGHEST) + jnp.matmul(
+            bot * bot, w2[hop:], precision=_HIGHEST
+        )
+
+        signs = jnp.sign(x)
+        row_changes = jnp.sum(jnp.abs(jnp.diff(signs, axis=1)) > 0, axis=1)
+        boundary = jnp.abs(signs[1:, 0] - signs[:-1, -1]) > 0
+        crossings = row_changes[:-1] + row_changes[1:] + boundary.astype(jnp.int32)
+        zcr = crossings.astype(jnp.float32) / jnp.float32(c.frame_size)
+
+        def spectrum(wc, ws):
+            re = jnp.matmul(top, jnp.asarray(wc[:hop]), precision=_HIGHEST,
+                            preferred_element_type=jnp.float32) + jnp.matmul(
+                bot, jnp.asarray(wc[hop:]), precision=_HIGHEST,
+                preferred_element_type=jnp.float32)
+            im = jnp.matmul(top, jnp.asarray(ws[:hop]), precision=_HIGHEST,
+                            preferred_element_type=jnp.float32) + jnp.matmul(
+                bot, jnp.asarray(ws[hop:]), precision=_HIGHEST,
+                preferred_element_type=jnp.float32)
+            return re * re + im * im
+
+        power = spectrum(self._wc, self._ws)
+        mel = jnp.maximum(
+            jnp.matmul(power, jnp.asarray(self._fb_t), precision=_HIGHEST,
+                       preferred_element_type=jnp.float32),
+            jnp.float32(1e-10),
+        )
+        mfcc = jnp.matmul(jnp.log(mel), jnp.asarray(self._dct), precision=_HIGHEST,
+                          preferred_element_type=jnp.float32)
+        mfcc = mfcc * jnp.asarray(self._lifter)
+
+        if self._wc_ent is not None:
+            entropy = entropy_from_power(spectrum(self._wc_ent, self._ws_ent))
+        else:
+            entropy = entropy_from_power(power)
+        return {
+            "energy": energy.astype(jnp.float32),
+            "zcr": zcr,
+            "entropy": entropy,
+            "mfcc": mfcc.astype(jnp.float32),
+        }
+
+    def _process_signal_view_impl(
+        self, signal: jnp.ndarray, state: vad_ops.VadState, n: int
+    ):
+        """Offline path for frame_size == 2*hop without frame materialization;
+        long signals scan over row blocks with one-row overlap."""
+        c = self.cfg
+        hop = c.hop_size
+        x = jnp.asarray(signal, dtype=jnp.float32)
+        rows = x[: (n + 1) * hop].reshape(n + 1, hop)
+        b = self.SCAN_BLOCK_FRAMES
+        if n <= b:
+            feats = self._features_from_rows(rows)
+            return self._vad_stage(feats, state, None)
+
+        nb = -(-n // b)
+        pad_rows = nb * b + 1 - (n + 1)
+        if pad_rows:
+            rows = jnp.pad(rows, ((0, pad_rows), (0, 0)))
+        valid = (jnp.arange(nb * b, dtype=jnp.int32) < n).reshape(nb, b)
+        starts = jnp.arange(nb, dtype=jnp.int32) * b
+
+        def step(st, inp):
+            start, va = inp
+            rb = jax.lax.dynamic_slice(rows, (start, 0), (b + 1, hop))
+            feats = self._features_from_rows(rb)
+            blk, new_st = self._vad_stage(feats, st, va)
+            return new_st, blk
+
+        state, blocks = jax.lax.scan(step, state, (starts, valid))
+        flat = FeatureBlock(*(v.reshape(nb * b, *v.shape[2:])[:n] for v in blocks))
+        return flat, state
+
     def _empty_block(self) -> FeatureBlock:
         return FeatureBlock(
             energy=jnp.zeros((0,), jnp.float32),
@@ -277,6 +381,15 @@ class FeaturePipeline:
         signals run as a lax.scan over fixed-size frame blocks with the
         VadState carried (the TPU-native version of the reference's chunked
         consumer loop, engine.py:229-242)."""
+        c = self.cfg
+        length = int(signal.shape[0])
+        if (
+            c.frame_size == 2 * c.hop_size
+            and length >= c.frame_size
+            and self._window_strictly_positive()
+        ):
+            n = 1 + (length - c.frame_size) // c.hop_size
+            return self._process_signal_view_impl(signal, state, n)
         frames = self._device_stream_frames(signal)
         f = int(frames.shape[0])
         if f == 0:
