@@ -25,39 +25,53 @@ import time
 import numpy as np
 
 
-def _decode_all(files, sample_rate):
+def _decode(path, sample_rate):
     from sspv_tpu.runtime.audio_source import FileAudioSource
 
-    pcms = []
-    for path in files:
-        src = FileAudioSource(path, sample_rate=sample_rate)
-        src.open()
-        pcms.append(src.read(1 << 62))
-        src.close()
-    return pcms
+    src = FileAudioSource(path, sample_rate=sample_rate)
+    src.open()
+    pcm = src.read(1 << 62)
+    src.close()
+    return pcm
 
 
-def _blocks_sequential(pipe, pcms):
+# The sharded path materializes a dense (batch, max_len) float32 matrix; keep
+# it bounded so one long outlier file can't OOM the host.
+_SHARDED_MATRIX_LIMIT_BYTES = 2 << 30
+
+
+def _blocks_sequential(pipe, files, sample_rate):
+    """Bounded-memory path: decode and process one file at a time."""
     import jax
 
-    for pcm in pcms:
+    for path in files:
+        pcm = _decode(path, sample_rate)
         block, _ = pipe.process_signal(pcm)
         jax.block_until_ready(block)
-        yield block, None
+        yield pcm, block
 
 
-def _blocks_sharded(pipe, pcms, hop, frame):
-    """Mesh-sharded batch path: pad to a common length and a mesh-divisible
-    batch, then slice each file's rows back out."""
+def _blocks_sharded(pipe, files, sample_rate, hop, frame):
+    """Mesh-sharded batch path: decode all, pad to a common length and a
+    mesh-divisible batch, then slice each file's rows back out. Falls back to
+    the sequential generator when the padded matrix would be too large."""
     import jax
 
     from sspv_tpu.parallel import BatchPipeline, make_mesh
 
+    pcms = [_decode(p, sample_rate) for p in files]
     mesh = make_mesh()
-    bp = BatchPipeline(mesh, pipe.cfg)
-    max_len = max(len(p) for p in pcms)
     dp = mesh.devices.shape[0]
+    max_len = max(len(p) for p in pcms)
     b = -(-len(pcms) // dp) * dp
+    if b * max_len * 4 > _SHARDED_MATRIX_LIMIT_BYTES:
+        print("padded batch too large for the sharded path; going sequential")
+        for path, pcm in zip(files, pcms):
+            block, _ = pipe.process_signal(pcm)
+            jax.block_until_ready(block)
+            yield pcm, block
+        return
+    bp = BatchPipeline(mesh, pipe.cfg)
     signals = np.zeros((b, max_len), dtype=np.float32)
     for i, pcm in enumerate(pcms):
         signals[i, : len(pcm)] = pcm
@@ -65,7 +79,7 @@ def _blocks_sharded(pipe, pcms, hop, frame):
     batch_block = jax.device_get(batch_block)
     for i, pcm in enumerate(pcms):
         nf = max(0, 1 + (len(pcm) - frame) // hop) if len(pcm) >= frame else 0
-        yield type(batch_block)(*(x[i][:nf] for x in batch_block)), nf
+        yield pcm, type(batch_block)(*(x[i][:nf] for x in batch_block))
 
 
 def main(argv: list[str]) -> int:
@@ -93,17 +107,18 @@ def main(argv: list[str]) -> int:
     os.makedirs(out_dir, exist_ok=True)
 
     pipe = FeaturePipeline(FeatureConfig.from_config(Config))
-    pcms = _decode_all(files, Config.SAMPLE_RATE)
-    total_audio = sum(len(p) for p in pcms) / Config.SAMPLE_RATE
+    total_audio = 0.0
 
     t_start = time.perf_counter()
     sharded = len(jax.devices()) > 1 and len(files) > 1
     blocks = (
-        _blocks_sharded(pipe, pcms, Config.HOP_SIZE, Config.FRAME_SIZE)
+        _blocks_sharded(pipe, files, Config.SAMPLE_RATE, Config.HOP_SIZE,
+                        Config.FRAME_SIZE)
         if sharded
-        else _blocks_sequential(pipe, pcms)
+        else _blocks_sequential(pipe, files, Config.SAMPLE_RATE)
     )
-    for path, pcm, (block, _nf) in zip(files, pcms, blocks):
+    for path, (pcm, block) in zip(files, blocks):
+        total_audio += len(pcm) / Config.SAMPLE_RATE
         frames = frame_i16_to_f32(pcm, Config.FRAME_SIZE, Config.HOP_SIZE)
         f0, _conf = (
             pitch_track(frames, np.asarray(block.vad), Config.SAMPLE_RATE)

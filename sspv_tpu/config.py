@@ -98,6 +98,9 @@ class Config:
     # small, fixed set of shapes (see runtime/engine.py). Few buckets on
     # purpose: each shape is a separate XLA compile.
     TPU_STREAM_BUCKETS = (32, 256, 2048)
+    # Capture-backlog bound (seconds of audio) before the producer blocks;
+    # replaces the reference's lossy 4-chunk deque with lossless backpressure.
+    TPU_MAX_PENDING_SECONDS = 30.0
     # Use the fused Pallas kernel on the offline batch path when available.
     TPU_USE_PALLAS = True
 

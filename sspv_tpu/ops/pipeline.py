@@ -177,6 +177,13 @@ class FeaturePipeline:
         zcr = crossings.astype(jnp.float32) / jnp.float32(c.frame_size)
 
         power = self._power_spectrum(x, "mfcc")
+        power_ent = self._power_spectrum(x, "entropy") if self._wc_ent is not None else power
+        return self._spectral_tail(energy, zcr, power, power_ent)
+
+    def _spectral_tail(self, energy, zcr, power, power_ent) -> dict:
+        """Shared mel→log→DCT→lifter + entropy tail over computed spectra
+        (used by both the frames path and the signal-view path; the Pallas
+        kernel carries its own fused copy)."""
         mel = jnp.maximum(
             jnp.matmul(power, jnp.asarray(self._fb_t), precision=_HIGHEST,
                        preferred_element_type=jnp.float32),
@@ -185,16 +192,10 @@ class FeaturePipeline:
         mfcc = jnp.matmul(jnp.log(mel), jnp.asarray(self._dct), precision=_HIGHEST,
                           preferred_element_type=jnp.float32)
         mfcc = mfcc * jnp.asarray(self._lifter)
-
-        if self._wc_ent is not None:
-            power_ent = self._power_spectrum(x, "entropy")
-        else:
-            power_ent = power
-        entropy = entropy_from_power(power_ent)
         return {
             "energy": energy.astype(jnp.float32),
             "zcr": zcr,
-            "entropy": entropy,
+            "entropy": entropy_from_power(power_ent),
             "mfcc": mfcc.astype(jnp.float32),
         }
 
@@ -305,25 +306,12 @@ class FeaturePipeline:
             return re * re + im * im
 
         power = spectrum(self._wc, self._ws)
-        mel = jnp.maximum(
-            jnp.matmul(power, jnp.asarray(self._fb_t), precision=_HIGHEST,
-                       preferred_element_type=jnp.float32),
-            jnp.float32(1e-10),
+        power_ent = (
+            spectrum(self._wc_ent, self._ws_ent)
+            if self._wc_ent is not None
+            else power
         )
-        mfcc = jnp.matmul(jnp.log(mel), jnp.asarray(self._dct), precision=_HIGHEST,
-                          preferred_element_type=jnp.float32)
-        mfcc = mfcc * jnp.asarray(self._lifter)
-
-        if self._wc_ent is not None:
-            entropy = entropy_from_power(spectrum(self._wc_ent, self._ws_ent))
-        else:
-            entropy = entropy_from_power(power)
-        return {
-            "energy": energy.astype(jnp.float32),
-            "zcr": zcr,
-            "entropy": entropy,
-            "mfcc": mfcc.astype(jnp.float32),
-        }
+        return self._spectral_tail(energy, zcr, power, power_ent)
 
     def _process_signal_view_impl(
         self, signal: jnp.ndarray, state: vad_ops.VadState, n: int
@@ -463,19 +451,34 @@ class FeaturePipeline:
             state = self.initial_state()
         return self._signal_jit(jnp.asarray(signal, dtype=jnp.float32), state)
 
-    def stream(self, chunks, state: vad_ops.VadState | None = None):
+    def stream(self, chunks, state: vad_ops.VadState | None = None,
+               buckets: tuple[int, ...] | None = None):
         """Generator API over an iterable of 1-D sample chunks (any dtype):
         carries the overlap tail and VadState across chunks and yields a
         ``FeatureBlock`` per chunk that completed >=1 frame. The functional
         counterpart of the AudioRuntime engine for library consumers.
 
+        Frame blocks are padded to a small fixed set of bucket shapes
+        (default ``Config.TPU_STREAM_BUCKETS``) so jit compiles a handful of
+        programs regardless of chunk-size jitter; padded tails are masked and
+        sliced off. Blocks larger than the top bucket are split.
+
         >>> for block in pipe.stream(wav_chunks):
         ...     consume(np.asarray(block.vad))
         """
+        import jax.numpy as jnp_  # local alias to keep the generator lazy
+
         c = self.cfg
+        if buckets is None:
+            from ..config import Config
+
+            buckets = tuple(sorted(
+                int(b) for b in getattr(Config, "TPU_STREAM_BUCKETS", (32, 256, 2048))
+            ))
         if state is None:
             state = self.initial_state()
         carry = np.zeros((0,), dtype=np.float32)
+        top = buckets[-1]
         for chunk in chunks:
             chunk = np.asarray(chunk)
             carry = np.concatenate([carry, chunk.astype(np.float32)])
@@ -484,8 +487,15 @@ class FeaturePipeline:
             if n == 0:
                 continue
             carry = carry[n * c.hop_size :]
-            block, state = self.process_block(frames, state)
-            yield block
+            for lo in range(0, n, top):
+                part = frames[lo : lo + top]
+                m = part.shape[0]
+                bucket = next((b for b in buckets if m <= b), top)
+                if bucket != m:
+                    part = np.pad(part, ((0, bucket - m), (0, 0)))
+                valid = jnp_.asarray(np.arange(bucket) < m)
+                block, state = self.process_block(part, state, valid=valid)
+                yield FeatureBlock(*(x[:m] for x in block))
 
     def process_signal(
         self, signal, state: vad_ops.VadState | None = None, pad_tail: bool = False

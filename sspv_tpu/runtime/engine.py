@@ -122,17 +122,25 @@ class AudioRuntime:
         self._process_thread: threading.Thread | None = None
         self._pending: list[np.ndarray] = []  # captured, not yet processed
         self._pending_samples = 0
-        # Backpressure bound on the capture backlog (samples). The reference
-        # uses a lossy 4-chunk deque (engine.py:90); we block the producer
-        # instead so file/playlist input is lossless even when the device
-        # path stalls (e.g. first-compile).
-        self._max_pending = int(
-            float(getattr(Config, "TPU_MAX_PENDING_SECONDS", 30.0)) * self.rate
-        ) or (Config.AUDIO_BUFFER_SIZE * Config.CHUNK_SIZE)
+        self._update_max_pending()
         self._vad_state: vad_ops.VadState = self.pipeline.initial_state()
         self._buckets = _parse_buckets(
             getattr(Config, "TPU_STREAM_BUCKETS", (32, 256, 2048))
         )
+
+    def _update_max_pending(self) -> None:
+        """Backpressure bound on the capture backlog (samples). The reference
+        uses a lossy 4-chunk deque (engine.py:90); we block the producer
+        instead so file/playlist input is lossless even when the device path
+        stalls (e.g. first-compile). Recomputed whenever the source (and thus
+        the sample rate) changes; non-positive configs fall back to 30 s."""
+        try:
+            seconds = float(getattr(Config, "TPU_MAX_PENDING_SECONDS", 30.0))
+        except Exception:
+            seconds = 30.0
+        if seconds <= 0:
+            seconds = 30.0
+        self._max_pending = max(int(seconds * self.rate), Config.CHUNK_SIZE)
 
     # ------------------------------------------------------------------
     # source management
@@ -150,6 +158,7 @@ class AudioRuntime:
         self.rate = getattr(self.audio_source, "sample_rate", Config.SAMPLE_RATE)
         self.channels = getattr(self.audio_source, "channels", Config.CHANNELS)
         self.auto_stop_on_eof = bool(auto_stop_on_eof)
+        self._update_max_pending()
         with self.lock:
             self._pending.clear()
             self._pending_samples = 0

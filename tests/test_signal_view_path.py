@@ -81,7 +81,7 @@ def test_view_path_matches_oracle_vad():
     assert nmse(got.mfcc, oracle.mfcc(frames, 16000, lifter=22)) < 1e-5
 
 
-def test_non_dividing_geometry_falls_back():
+def test_zero_endpoint_window_falls_back():
     # hanning has zero endpoints -> sign trick invalid -> frames path
     cfg = FeatureConfig(window_type="hanning")
     pipe = FeaturePipeline(cfg)
@@ -91,3 +91,23 @@ def test_non_dividing_geometry_falls_back():
     frames = pipe.stream_frames(sig)
     want, _ = pipe.process_block(frames, pipe.initial_state())
     np.testing.assert_array_equal(np.asarray(got.vad), np.asarray(want.vad))
+
+
+def test_non_dividing_geometry_falls_back():
+    # frame_size != 2*hop (even though hop divides frame) must use the frames
+    # path with correct frame composition
+    for frame, hop in [(320, 80), (320, 100), (300, 150)]:
+        if frame == 2 * hop:
+            continue
+        cfg = FeatureConfig(frame_size=frame, hop_size=hop)
+        pipe = FeaturePipeline(cfg)
+        sig = make_sig(seed=13)[:8000]
+        got, _ = pipe.process_signal_device(sig)
+        frames = pipe.stream_frames(sig)
+        want, _ = pipe.process_block(frames, pipe.initial_state())
+        np.testing.assert_array_equal(
+            np.asarray(got.vad), np.asarray(want.vad), err_msg=f"{frame}/{hop}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.energy), np.asarray(want.energy), rtol=1e-6
+        )
