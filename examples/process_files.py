@@ -46,7 +46,7 @@ def _blocks_sequential(pipe, files, sample_rate):
 
     for path in files:
         pcm = _decode(path, sample_rate)
-        block, _ = pipe.process_signal(pcm)
+        block, _ = pipe.process_signal_auto(pcm)
         jax.block_until_ready(block)
         yield pcm, block
 

@@ -33,7 +33,8 @@ def analyze_file(path: str, png: str | None = None, npz: str | None = None) -> d
     src.close()
 
     pipe = FeaturePipeline(FeatureConfig.from_config(Config))
-    block, _ = pipe.process_signal(pcm)
+    # bucketed-length path: files of any length share a few compiled programs
+    block, _ = pipe.process_signal_auto(pcm)
     jax.block_until_ready(block)
 
     energy = np.asarray(block.energy)

@@ -314,10 +314,17 @@ class FeaturePipeline:
         return self._spectral_tail(energy, zcr, power, power_ent)
 
     def _process_signal_view_impl(
-        self, signal: jnp.ndarray, state: vad_ops.VadState, n: int
+        self,
+        signal: jnp.ndarray,
+        state: vad_ops.VadState,
+        n: int,
+        true_n: jnp.ndarray | None = None,
     ):
         """Offline path for frame_size == 2*hop without frame materialization;
-        long signals scan over row blocks with one-row overlap."""
+        long signals scan over row blocks with one-row overlap. ``true_n``
+        (traced scalar) marks the real frame count when the signal was padded
+        to a bucketed length — frames beyond it are masked out of the VAD
+        state so one compiled program serves many signal lengths."""
         c = self.cfg
         hop = c.hop_size
         x = jnp.asarray(signal, dtype=jnp.float32)
@@ -325,13 +332,15 @@ class FeaturePipeline:
         b = self.SCAN_BLOCK_FRAMES
         if n <= b:
             feats = self._features_from_rows(rows)
-            return self._vad_stage(feats, state, None)
+            valid = None if true_n is None else jnp.arange(n, dtype=jnp.int32) < true_n
+            return self._vad_stage(feats, state, valid)
 
         nb = -(-n // b)
         pad_rows = nb * b + 1 - (n + 1)
         if pad_rows:
             rows = jnp.pad(rows, ((0, pad_rows), (0, 0)))
-        valid = (jnp.arange(nb * b, dtype=jnp.int32) < n).reshape(nb, b)
+        limit = jnp.int32(n) if true_n is None else true_n
+        valid = (jnp.arange(nb * b, dtype=jnp.int32) < limit).reshape(nb, b)
         starts = jnp.arange(nb, dtype=jnp.int32) * b
 
         def step(st, inp):
@@ -440,6 +449,54 @@ class FeaturePipeline:
             + np.arange(f)[:, None] * c.hop_size
         )
         return samples.astype(np.float32)[idx]
+
+    # Length buckets (in seconds) for process_signal_auto: arbitrary-length
+    # inputs pad up to one of these so jit compiles a handful of programs
+    # instead of one per file length (compiles are minutes on remote-compile
+    # hardware).
+    SIGNAL_BUCKET_SECONDS = (2, 8, 32, 128, 512, 2048)
+
+    def _process_signal_masked_impl(self, padded, state, true_n):
+        c = self.cfg
+        length = int(padded.shape[0])
+        n = 1 + (length - c.frame_size) // c.hop_size
+        return self._process_signal_view_impl(padded, state, n, true_n=true_n)
+
+    def process_signal_auto(
+        self, signal, state: vad_ops.VadState | None = None
+    ) -> tuple[FeatureBlock, vad_ops.VadState]:
+        """Arbitrary-length offline processing with bucketed compile shapes:
+        the signal is zero-padded up to the next ``SIGNAL_BUCKET_SECONDS``
+        bucket and padded frames are masked out of the VAD state, so any
+        number of differently-sized files shares at most a handful of
+        compiled programs. Requires the 50%-overlap geometry; other
+        geometries fall back to exact-length processing."""
+        c = self.cfg
+        sig = np.asarray(signal, dtype=np.float32)
+        if state is None:
+            state = self.initial_state()
+        if not (
+            c.frame_size == 2 * c.hop_size
+            and self._window_strictly_positive()
+            and len(sig) >= c.frame_size
+        ):
+            return self.process_signal_device(sig, state)
+        true_n = 1 + (len(sig) - c.frame_size) // c.hop_size
+        sr = c.sample_rate
+        target = next(
+            (s * sr for s in self.SIGNAL_BUCKET_SECONDS if len(sig) <= s * sr),
+            None,
+        )
+        if target is None:  # beyond the largest bucket: exact-length program
+            return self.process_signal_device(sig, state)
+        if target > len(sig):
+            sig = np.pad(sig, (0, target - len(sig)))
+        if not hasattr(self, "_signal_masked_jit"):
+            self._signal_masked_jit = jax.jit(self._process_signal_masked_impl)
+        block, new_state = self._signal_masked_jit(
+            jnp.asarray(sig), state, jnp.int32(true_n)
+        )
+        return FeatureBlock(*(x[:true_n] for x in block)), new_state
 
     def process_signal_device(
         self, signal, state: vad_ops.VadState | None = None
