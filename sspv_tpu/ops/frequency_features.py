@@ -62,6 +62,10 @@ def compute_mfcc(
     fmax: float | None = None,
 ) -> jnp.ndarray:
     """MFCC matrix, shape ``(num_frames, num_ceps)`` float32."""
+    # A length-N DCT-II has exactly N coefficients: num_ceps > num_filters
+    # truncates to num_filters, matching the reference's full-DCT-then-slice
+    # (frequency_features.py:157 yields min(num_filters, num_ceps) columns).
+    num_ceps = min(int(num_ceps), int(num_filters))
     x = jnp.asarray(frames, dtype=jnp.float32)
     if x.size == 0:
         return jnp.zeros((0, num_ceps), dtype=jnp.float32)

@@ -143,7 +143,11 @@ class SignalProcessing:
             )
         )
         if lifter is not None and lifter > 0:
-            mfcc = mfcc * _bases.lifter_vector(num_ceps, lifter)
+            # lifter over the actual output width: the DCT yields at most
+            # n_filters coefficients (the reference would raise a broadcast
+            # error when num_ceps > n_filters with a lifter; we lifter the
+            # truncated width instead)
+            mfcc = mfcc * _bases.lifter_vector(mfcc.shape[1], lifter)
         return mfcc[0] if np.asarray(frame_or_frames).ndim == 1 else mfcc
 
     @staticmethod
