@@ -261,12 +261,20 @@ class QtVisualizer:
         box = QtWidgets.QMessageBox(self.win)
         box.setWindowTitle("Playback complete")
         box.setText("All audio consumed. Continue with another source or quit?")
-        cont = box.addButton("Continue", QtWidgets.QMessageBox.AcceptRole)
-        box.addButton("Quit", QtWidgets.QMessageBox.RejectRole)
-        box.exec()
+        # enum location differs between Qt5 bindings and strict Qt6 ones
+        roles = getattr(QtWidgets.QMessageBox, "ButtonRole", QtWidgets.QMessageBox)
+        cont = box.addButton("Continue", roles.AcceptRole)
+        box.addButton("Quit", roles.RejectRole)
+        _exec(box)
         if box.clickedButton() is not cont:
             self.app.quit()
 
     def run(self):
         self.win.show()
-        return self.app.exec()
+        return _exec(self.app)
+
+
+def _exec(obj):
+    """Qt6 uses .exec(); some Qt5 bindings only have .exec_()."""
+    fn = getattr(obj, "exec", None) or getattr(obj, "exec_")
+    return fn()
