@@ -90,7 +90,7 @@ def main() -> int:
     conditions = [("quiet", 30.0), ("normal", 15.0), ("noisy", 5.0)]
     for name, snr in conditions:
         sig, labels = synth_labeled(60.0, Config.SAMPLE_RATE, snr, seed=7)
-        block, _ = pipe.process_signal(sig)
+        block, _ = pipe.process_signal_auto(sig)
         jax.block_until_ready(block)
         pred = np.asarray(block.vad).astype(bool)
         truth = frame_labels(labels, Config.FRAME_SIZE, Config.HOP_SIZE)

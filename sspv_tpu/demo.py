@@ -84,10 +84,10 @@ def demo_signal_processing():
     # the fused full pipeline (engine semantics incl. MFCC/entropy/adaptive
     # VAD) for comparison — one device call for the whole signal
     pipe = FeaturePipeline(FeatureConfig.from_config(Config))
-    block, _ = pipe.process_signal(signal)
+    block, _ = pipe.process_signal_auto(signal)
     jax.block_until_ready(block)
     t0 = time.time()
-    block, _ = pipe.process_signal(signal)
+    block, _ = pipe.process_signal_auto(signal)
     jax.block_until_ready(block)
     fused = time.time() - t0
     print(
