@@ -101,6 +101,11 @@ class Config:
     # Capture-backlog bound (seconds of audio) before the producer blocks;
     # replaces the reference's lossy 4-chunk deque with lossless backpressure.
     TPU_MAX_PENDING_SECONDS = 30.0
+    # Minimum seconds between streaming device dispatches (0 = as fast as
+    # frames arrive). Raising this coalesces frames into fewer, larger device
+    # calls — useful where per-call overhead (or a per-call client leak on
+    # tunneled dev hardware) matters more than latency.
+    TPU_MIN_DISPATCH_INTERVAL = 0.0
     # Use the fused Pallas kernel on the offline batch path when available.
     TPU_USE_PALLAS = True
 

@@ -313,6 +313,8 @@ class AudioRuntime:
         carry = np.zeros((0,), dtype=np.int16)
         inflight = None  # double buffer: one block in flight
         max_bucket = self._buckets[-1]
+        min_interval = float(getattr(Config, "TPU_MIN_DISPATCH_INTERVAL", 0.0) or 0.0)
+        last_dispatch = 0.0
 
         def dispatch_split(frames, inflight):
             """Dispatch ``frames`` in <=max_bucket slices, keeping exactly one
@@ -326,6 +328,9 @@ class AudioRuntime:
 
         try:
             while self.is_running:
+                if min_interval and time.monotonic() - last_dispatch < min_interval:
+                    time.sleep(Config.THREAD_SLEEP_TIME)
+                    continue
                 frames, carry = self._take_frames(carry)
                 if frames.shape[0] == 0:
                     if inflight is not None:
@@ -333,6 +338,7 @@ class AudioRuntime:
                         inflight = None
                     time.sleep(Config.THREAD_SLEEP_TIME)
                     continue
+                last_dispatch = time.monotonic()
                 inflight = dispatch_split(frames, inflight)
             # drain: publish the last in-flight block and any tail frames
             if inflight is not None:
