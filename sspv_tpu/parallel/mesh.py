@@ -102,23 +102,89 @@ class BatchPipeline:
             )
         return self._batch_jit[key](signals, states)
 
+    def process_batch_masked(
+        self, signals, lengths, states: vad_ops.VadState | None = None
+    ) -> tuple[FeatureBlock, vad_ops.VadState]:
+        """Process a (B, L) zero-padded batch of *unequal-length* signals, B
+        over "data": ``lengths[i]`` is signal i's true sample count. Padded
+        frames are masked out of each signal's VAD state (the same valid-mask
+        machinery the bucketed streaming engine uses), so one compiled
+        program serves any mix of file lengths that pads to L."""
+        signals = jnp.asarray(signals, dtype=jnp.float32)
+        lengths = jnp.asarray(lengths, dtype=jnp.int32)
+        b = signals.shape[0]
+        if states is None:
+            states = self.initial_states(b)
+        c = self.pipe.cfg
+        key = ("batch_masked", signals.shape)
+        if key not in self._batch_jit:
+
+            def impl(sigs, lens, sts):
+                def one(signal, length, state):
+                    frames = self.pipe._device_stream_frames(signal)
+                    frames = jax.lax.with_sharding_constraint(
+                        frames, NamedSharding(self.mesh, P("seq", None))
+                    )
+                    n = frames.shape[0]
+                    true_n = jnp.where(
+                        length >= c.frame_size,
+                        1 + (length - c.frame_size) // c.hop_size,
+                        0,
+                    )
+                    valid = jnp.arange(n, dtype=jnp.int32) < true_n
+                    return self.pipe._process_block_impl(frames, state, valid)
+
+                return jax.vmap(one)(sigs, lens, sts)
+
+            in_sh = NamedSharding(self.mesh, P("data", None))
+            len_sh = NamedSharding(self.mesh, P("data"))
+            self._batch_jit[key] = jax.jit(
+                impl,
+                in_shardings=(in_sh, len_sh,
+                              jax.tree.map(lambda _: len_sh, states)),
+            )
+        return self._batch_jit[key](signals, lengths, states)
+
     def process_long(
         self, signal, state: vad_ops.VadState | None = None
     ) -> tuple[FeatureBlock, vad_ops.VadState]:
         """Process one long (L,) signal with the frame axis sharded over the
-        flattened ("data", "seq") mesh — sequence parallelism."""
+        flattened ("data", "seq") mesh — sequence parallelism.
+
+        With the 50%-overlap geometry this routes through the signal-view
+        path, so signals past ``SCAN_BLOCK_FRAMES`` frames run the same
+        lax.scan-over-blocks + carried-VadState machinery as single-device
+        ``process_signal_device`` — under the mesh, so the prefix ops' halo
+        and state-carry exchanges lower to collectives."""
         signal = jnp.asarray(signal, dtype=jnp.float32)
         if state is None:
             state = self.pipe.initial_state()
         key = ("long", signal.shape)
         if key not in self._batch_jit:
+            c = self.pipe.cfg
+            length = int(signal.shape[0])
+            sharding = NamedSharding(self.mesh, P(("data", "seq")))
+            use_view = (
+                c.frame_size == 2 * c.hop_size
+                and length >= c.frame_size
+                and self.pipe._window_strictly_positive()
+            )
+            if use_view:
+                n = 1 + (length - c.frame_size) // c.hop_size
 
-            def impl(sig, st):
-                frames = self.pipe._device_stream_frames(sig)
-                frames = jax.lax.with_sharding_constraint(
-                    frames, NamedSharding(self.mesh, P(("data", "seq"), None))
-                )
-                return self.pipe._process_block_impl(frames, st, None)
+                def impl(sig, st):
+                    sig = jax.lax.with_sharding_constraint(sig, sharding)
+                    return self.pipe._process_signal_view_impl(sig, st, n)
+
+            else:
+
+                def impl(sig, st):
+                    frames = self.pipe._device_stream_frames(sig)
+                    frames = jax.lax.with_sharding_constraint(
+                        frames,
+                        NamedSharding(self.mesh, P(("data", "seq"), None)),
+                    )
+                    return self.pipe._process_block_impl(frames, st, None)
 
             self._batch_jit[key] = jax.jit(impl)
         return self._batch_jit[key](signal, state)

@@ -50,3 +50,104 @@ def test_long_signal_sequence_sharding():
     )
     np.testing.assert_array_equal(np.asarray(block.vad), np.asarray(want.vad))
     assert int(state.count) == int(want_state.count)
+
+
+def test_long_signal_scan_blocks_under_mesh():
+    """The sequence-parallel long path through the lax.scan-over-blocks
+    machinery (signal long enough to exceed SCAN_BLOCK_FRAMES, shrunk here so
+    the CPU mesh test stays cheap): carried VadState + masked padded tail
+    must agree exactly with the single-device result."""
+    rng = np.random.default_rng(7)
+    sig = np.zeros(16000 * 2, dtype=np.float32)
+    sig[4000:12000] = np.sin(2 * np.pi * 200 * np.arange(8000) / 16000) * 9000
+    sig[12000:20000] = rng.normal(0, 2500, 8000)
+
+    mesh = make_mesh(8)
+    bp = BatchPipeline(mesh)
+    bp.pipe.SCAN_BLOCK_FRAMES = 64  # 199 frames -> 4 scan blocks, padded tail
+    block, state = bp.process_long(sig)
+    assert np.asarray(block.energy).shape == (199,)
+
+    pipe = FeaturePipeline(FeatureConfig())
+    want, want_state = pipe.process_signal_device(sig)
+    np.testing.assert_allclose(
+        np.asarray(block.energy), np.asarray(want.energy), rtol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(block.mfcc), np.asarray(want.mfcc), atol=2e-4
+    )
+    np.testing.assert_array_equal(np.asarray(block.vad), np.asarray(want.vad))
+    np.testing.assert_array_equal(
+        np.asarray(block.vad_adaptive), np.asarray(want.vad_adaptive)
+    )
+    assert int(state.count) == int(want_state.count)
+    assert int(state.last_voiced) == int(want_state.last_voiced)
+
+
+def test_streaming_padded_tail_under_mesh():
+    """Bucketed streaming block with a masked padded tail, frames sharded
+    over the flattened ("data","seq") mesh: the masked streaming_vad
+    (state-correction pass) must be exact under sharding too."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(8)
+    pipe = FeaturePipeline(FeatureConfig())
+    sig = rng.normal(0, 4000, (16000,)).astype(np.float32)
+    frames = pipe.stream_frames(sig)  # (99, 320)
+    n = frames.shape[0]
+    bucket = 128
+    padded = np.pad(frames, ((0, bucket - n), (0, 0)))
+    valid = np.arange(bucket) < n
+
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P(("data", "seq"), None))
+    vh = NamedSharding(mesh, P(("data", "seq")))
+    jitted = jax.jit(pipe._process_block_impl, in_shardings=(sh, None, vh))
+    block, state = jitted(
+        jax.device_put(padded, sh), pipe.initial_state(), jax.device_put(valid, vh)
+    )
+
+    want, want_state = pipe.process_block(frames, pipe.initial_state())
+    np.testing.assert_allclose(
+        np.asarray(block.energy)[:n], np.asarray(want.energy), rtol=2e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(block.vad)[:n], np.asarray(want.vad)
+    )
+    # padded frames must not have leaked into the carried state
+    assert int(state.count) == int(want_state.count) == n
+    assert int(state.last_voiced) == int(want_state.last_voiced)
+
+
+def test_batch_masked_unequal_lengths():
+    """dp batch of unequal-length signals via zero-padding + per-signal
+    masked frame counts: each row must match processing its true-length
+    prefix alone on a single device."""
+    rng = np.random.default_rng(9)
+    sr = 16000
+    lengths = [sr // 2, sr, sr + 7 * 160, sr * 2, sr // 4, sr, 319, sr * 2]
+    L = max(lengths)
+    signals = np.zeros((8, L), dtype=np.float32)
+    for i, n in enumerate(lengths):
+        signals[i, :n] = rng.normal(0, 3000, n)
+
+    mesh = make_mesh(8)
+    bp = BatchPipeline(mesh)
+    block, states = bp.process_batch_masked(signals, lengths)
+
+    pipe = FeaturePipeline(FeatureConfig())
+    for i, n in enumerate(lengths):
+        if n < 320:
+            assert int(states.count[i]) == 0
+            continue
+        want, want_state = pipe.process_signal(signals[i, :n])
+        true_n = np.asarray(want.energy).shape[0]
+        np.testing.assert_allclose(
+            np.asarray(block.energy[i])[:true_n], np.asarray(want.energy),
+            rtol=2e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(block.vad[i])[:true_n], np.asarray(want.vad)
+        )
+        assert int(states.count[i]) == int(want_state.count) == true_n
