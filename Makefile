@@ -27,4 +27,4 @@ clean:
 	rm -rf .pytest_cache **/__pycache__ sspv_snapshot.png
 
 docs:
-	@echo "docs are markdown under docs/ — see docs/architecture.md"
+	$(PY) scripts/build_docs.py

@@ -97,6 +97,21 @@ def main() -> None:
     }
     max_mse = max(mses.values())
 
+    # Pallas-vs-XLA equality on real hardware: the fused kernel serves the
+    # frames/streaming path; assert it agrees with the plain-JAX tail on the
+    # same raw frames (compiled, not interpret=True — the CI suite only runs
+    # interpreter mode on CPU). Hard gate: a silent kernel divergence must
+    # fail the bench, not ship.
+    pallas_nmse = None
+    if jax.default_backend() == "tpu" and pipe._use_pallas:
+        frames = pipe.stream_frames(sub)[:2048]
+        plain = FeaturePipeline(FeatureConfig(use_pallas=False))
+        got_p = jax.device_get(pipe.features(frames))
+        got_x = jax.device_get(plain.features(frames))
+        pallas_nmse = {k: _nmse(got_p[k], got_x[k]) for k in got_x}
+        worst = max(pallas_nmse.values())
+        assert worst <= 1e-8, f"pallas/XLA divergence: {pallas_nmse}"
+
     print(
         json.dumps(
             {
@@ -110,6 +125,11 @@ def main() -> None:
                 "frames_per_call": int(np.asarray(block.energy).shape[0]),
                 "best_time_s": round(best, 5),
                 "backend": jax.default_backend(),
+                **(
+                    {"pallas_vs_xla_nmse_max": float(f"{max(pallas_nmse.values()):.3e}")}
+                    if pallas_nmse is not None
+                    else {}
+                ),
             }
         )
     )

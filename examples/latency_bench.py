@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""End-to-end paced streaming latency of the AudioRuntime engine.
+
+Measures, per frame, the wall-clock delay between "the frame's last sample
+became available from the (real-time-paced) source" and "the frame's result
+appeared in ``processed_data``" — the engine-side equivalent of the
+reference's 35.6 ms processing + <50 ms budget row (BASELINE.md).
+
+Usage:
+    python examples/latency_bench.py [--mode default|ll] [--chunk 1024]
+                                     [--seconds 30] [--warmup 10]
+
+Prints one JSON line per run with median/p90/max latency in ms.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+
+import numpy as np
+
+
+class PacedSource:
+    """Real-time-paced synthetic int16 source; records when each chunk's
+    last sample became available to the engine."""
+
+    def __init__(self, seconds: float, chunk_samples: int, sample_rate: int):
+        self.sample_rate = sample_rate
+        self.channels = 1
+        self.chunk_samples = chunk_samples
+        n = int(seconds * sample_rate)
+        rng = np.random.default_rng(0)
+        t = np.arange(n) / sample_rate
+        sig = rng.normal(0, 600, n)
+        voiced = ((t * 2).astype(int) % 2) == 1
+        sig = np.where(voiced, 9000 * np.sin(2 * np.pi * 150 * t), sig)
+        self._data = sig.astype(np.int16)
+        self._pos = 0
+        self.exhausted = False
+        self.chunk_end_times: list[float] = []
+        self._t0 = None
+
+    def open(self) -> None:
+        self._pos = 0
+        self.exhausted = False
+        self._t0 = time.perf_counter()
+
+    def read(self, num_frames: int) -> np.ndarray:
+        # serve fixed-size chunks at their real-time due moment
+        if self._pos >= len(self._data):
+            self.exhausted = True
+            return np.array([], dtype=np.int16)
+        end = min(len(self._data), self._pos + self.chunk_samples)
+        due = (end / self.sample_rate) + self._t0
+        now = time.perf_counter()
+        if now < due:
+            time.sleep(due - now)
+        chunk = self._data[self._pos:end]
+        self._pos = end
+        if self._pos >= len(self._data):
+            self.exhausted = True
+        self.chunk_end_times.append(time.perf_counter())
+        return chunk
+
+    def close(self) -> None:
+        pass
+
+
+def run_once(mode: str, chunk: int, seconds: float, warmup_s: float) -> dict:
+    import jax  # noqa: F401  (backend resolution before Config import is fine)
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from sspv_tpu.config import Config
+    from sspv_tpu.runtime import AudioRuntime
+
+    Config.TPU_LOW_LATENCY = 1 if mode == "ll" else 0
+    Config.PROCESSED_DATA_BUFFER_SIZE = 10**6  # keep every frame observable
+
+    src = PacedSource(seconds, chunk, Config.SAMPLE_RATE)
+    rt = AudioRuntime(audio_source=src)
+    rt.auto_stop_on_eof = True
+
+    # pre-warm every bucket shape so compiles (or cache loads) don't land
+    # inside the paced measurement window
+    import jax.numpy as jnp
+
+    state = rt.pipeline.initial_state()
+    for b in rt._buckets:
+        blk, _ = rt.pipeline.process_block(
+            np.zeros((b, Config.FRAME_SIZE), np.float32), state,
+            valid=jnp.asarray(np.arange(b) < b - 1),
+        )
+        jax.block_until_ready(blk)
+
+    # publish-time watcher: first-seen wall-clock per frame index
+    pub_times: list[float] = []
+    stop = threading.Event()
+
+    def watch():
+        while not stop.is_set():
+            n = len(rt.processed_data)
+            now = time.perf_counter()
+            while len(pub_times) < n:
+                pub_times.append(now)
+            time.sleep(0.0005)
+
+    w = threading.Thread(target=watch, daemon=True)
+    w.start()
+    rt.start()
+    deadline = time.time() + seconds + 120
+    while rt.is_running and time.time() < deadline:
+        time.sleep(0.02)
+    rt.stop()
+    # let the watcher observe the drain
+    time.sleep(0.05)
+    n_final = len(rt.processed_data)
+    now = time.perf_counter()
+    while len(pub_times) < n_final:
+        pub_times.append(now)
+    stop.set()
+    w.join()
+    if rt.last_error is not None:
+        raise rt.last_error
+
+    frame, hop = Config.FRAME_SIZE, Config.HOP_SIZE
+    lat = []
+    for i in range(len(pub_times)):
+        last_idx = i * hop + frame - 1
+        k = last_idx // chunk
+        if k >= len(src.chunk_end_times):
+            break
+        lat.append(pub_times[i] - src.chunk_end_times[k])
+    lat = np.array(lat[int(warmup_s * Config.SAMPLE_RATE / hop):]) * 1000.0
+    assert lat.size > 0, "no frames measured after warmup"
+
+    return {
+        "metric": "paced_streaming_latency",
+        "mode": mode,
+        "chunk_samples": chunk,
+        "chunk_ms": round(chunk / Config.SAMPLE_RATE * 1000, 1),
+        "frames": int(lat.size),
+        "median_ms": round(float(np.median(lat)), 1),
+        "p90_ms": round(float(np.percentile(lat, 90)), 1),
+        "max_ms": round(float(lat.max()), 1),
+        "buckets": list(rt._buckets),
+        "backend": __import__("jax").default_backend(),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["default", "ll"], default="default")
+    ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--warmup", type=float, default=10.0)
+    args = ap.parse_args()
+    print(json.dumps(run_once(args.mode, args.chunk, args.seconds, args.warmup)))
+
+
+if __name__ == "__main__":
+    main()

@@ -77,6 +77,8 @@ def main(argv) -> int:
     from sspv_tpu.runtime import AudioRuntime
     from sspv_tpu.utils.cache import enable_persistent_cache
 
+    Config.load_from_env()  # honor RTP_* overrides (e.g. the per-call-leak
+    # mitigation RTP_TPU_MIN_DISPATCH_INTERVAL on tunneled dev hardware)
     enable_persistent_cache()
     rt = AudioRuntime(audio_source=LoopingSource(Config.SAMPLE_RATE))
     rt.start()

@@ -106,8 +106,18 @@ class Config:
     # calls — useful where per-call overhead (or a per-call client leak on
     # tunneled dev hardware) matters more than latency.
     TPU_MIN_DISPATCH_INTERVAL = 0.0
-    # Use the fused Pallas kernel on the offline batch path when available.
+    # Use the fused Pallas kernel on the *frames/streaming* path when
+    # available. The flagship offline signal-view path (frame_size == 2*hop)
+    # is intentionally XLA-fused — the measured A/B is a tie
+    # (docs/benchmarks.md) and XLA needs no custom kernel there — so this
+    # knob does not affect it.
     TPU_USE_PALLAS = True
+    # Low-latency streaming: materialize each dispatched block immediately
+    # instead of keeping one block in flight (halves result latency at some
+    # throughput cost), and add a small 8-frame bucket so near-real-time
+    # chunk cadences dispatch without waiting to fill 32 frames. Measured
+    # numbers in docs/benchmarks.md.
+    TPU_LOW_LATENCY = False
 
     @staticmethod
     def setup_logging() -> None:

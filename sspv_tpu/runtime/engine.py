@@ -127,6 +127,14 @@ class AudioRuntime:
         self._buckets = _parse_buckets(
             getattr(Config, "TPU_STREAM_BUCKETS", (32, 256, 2048))
         )
+        # Low-latency mode: no in-flight block (each dispatch is materialized
+        # immediately) + an extra small bucket so a near-real-time cadence
+        # (a handful of frames per capture chunk) doesn't pad to 32.
+        self._low_latency = bool(
+            int(getattr(Config, "TPU_LOW_LATENCY", 0) or 0)
+        )
+        if self._low_latency and self._buckets[0] > 8:
+            self._buckets = (8,) + self._buckets
 
     def _update_max_pending(self) -> None:
         """Backpressure bound on the capture backlog (samples). The reference
@@ -318,12 +326,17 @@ class AudioRuntime:
 
         def dispatch_split(frames, inflight):
             """Dispatch ``frames`` in <=max_bucket slices, keeping exactly one
-            block in flight (shape set stays fixed; pipelining preserved)."""
+            block in flight (shape set stays fixed; pipelining preserved).
+            In low-latency mode nothing stays in flight: results are fetched
+            as soon as each block is enqueued."""
             for lo in range(0, frames.shape[0], max_bucket):
                 nxt = self._dispatch(frames[lo : lo + max_bucket])
                 if inflight is not None:
                     self._materialize(inflight)
-                inflight = nxt
+                if self._low_latency:
+                    self._materialize(nxt)
+                else:
+                    inflight = nxt
             return inflight
 
         try:
@@ -347,7 +360,8 @@ class AudioRuntime:
             frames, carry = self._take_frames(carry)
             if frames.shape[0]:
                 inflight = dispatch_split(frames, None)
-                self._materialize(inflight)
+                if inflight is not None:  # low-latency already materialized
+                    self._materialize(inflight)
         except Exception as e:
             self.last_error = e
             self.is_running = False  # see capture-thread note: don't hang pollers

@@ -59,3 +59,42 @@ def test_oversized_drain_splits_into_fixed_buckets(monkeypatch):
     want_vad, _ = ref.run_all(e, z, h)
     np.testing.assert_allclose(energies, e, rtol=1e-5)
     np.testing.assert_array_equal(vads, want_vad)
+
+
+def test_low_latency_mode_is_oracle_exact(monkeypatch):
+    """TPU_LOW_LATENCY=1: 8-frame bucket prepended, no in-flight block —
+    results must still be bit-identical to the sequential per-frame oracle."""
+    monkeypatch.setattr(Config, "TPU_LOW_LATENCY", 1, raising=False)
+    rng = np.random.default_rng(5)
+    n = int(0.7 * Config.SAMPLE_RATE)
+    t = np.arange(n) / Config.SAMPLE_RATE
+    sig = rng.normal(0, 600, n)
+    sig[2000:6000] = np.sin(2 * np.pi * 150 * t[2000:6000]) * 9000
+    sig = sig.astype(np.int16)
+
+    rt = AudioRuntime(audio_source=DummyAudioSource(signal=sig))
+    assert rt._low_latency and rt._buckets[0] == 8
+    rt.auto_stop_on_eof = True
+    _run_engine_to_eof(rt)
+
+    energies, zcrs, vads = rt.get_recent_processed(max_display=10**6)
+    nf = 1 + (n - Config.FRAME_SIZE) // Config.HOP_SIZE
+    assert energies.size == nf
+
+    idx = np.arange(Config.FRAME_SIZE)[None, :] + Config.HOP_SIZE * np.arange(nf)[:, None]
+    frames = (sig[idx].astype(np.float32) * oracle.hamming(Config.FRAME_SIZE))
+    e = oracle.short_time_energy(frames)
+    z = oracle.zero_crossing_rate(frames)
+    h = oracle.spectral_entropy(frames, Config.SPECTRAL_ENTROPY_N_FFT)
+    ref = oracle.EngineVadOracle(
+        energy_threshold=Config.ENERGY_THRESHOLD,
+        zcr_threshold=Config.ZCR_THRESHOLD,
+        entropy_voice_max=Config.SPECTRAL_ENTROPY_VOICE_MAX,
+        use_adaptive=Config.USE_ADAPTIVE_VAD,
+        alpha_raw=Config.ADAPTIVE_VAD_ENERGY_K,
+        hangover_on=Config.VAD_HANGOVER_ON,
+        release_off=Config.VAD_RELEASE_OFF,
+    )
+    want_vad, _ = ref.run_all(e, z, h)
+    np.testing.assert_allclose(energies, e, rtol=1e-5)
+    np.testing.assert_array_equal(vads, want_vad)
