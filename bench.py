@@ -67,21 +67,37 @@ def main() -> None:
     # warm-up / compile
     block, _ = pipe.process_signal_device(sig, state0)
     jax.block_until_ready(block)
+    _ = int(jax.device_get(block.vad[-1]))
 
-    reps = 5
-    times = []
-    voiced = 0
+    # Steady-state throughput: keep the dispatch pipeline full (async jax
+    # dispatch; this is exactly how the streaming engine feeds the chip) and
+    # force end-to-end completion at the end by consuming a scalar that
+    # depends on EVERY rep's output — on experimental remote backends
+    # block_until_ready alone has been observed to return before execution,
+    # which would overstate throughput by orders of magnitude. The per-call
+    # tunnel round-trip (~25 ms each way on tunneled dev hardware) overlaps
+    # compute instead of serializing with it.
+    reps = 8
+    tails = []
+    t0 = time.perf_counter()
     for _ in range(reps):
+        block, _ = pipe.process_signal_device(sig, state0)
+        tails.append(block.vad[-1])
+    voiced = int(jax.device_get(jnp.stack(tails).sum()) // reps)
+    pipelined = (time.perf_counter() - t0) / reps
+
+    # Serialized per-dispatch latency (previous methodology): one dispatch,
+    # one sync, one scalar fetch — includes both tunnel round-trips.
+    times = []
+    for _ in range(3):
         t0 = time.perf_counter()
         block, _ = pipe.process_signal_device(sig, state0)
         jax.block_until_ready(block)
-        # force end-to-end completion with a result consume: on experimental
-        # remote backends block_until_ready alone has been observed to return
-        # before execution, which would overstate throughput by orders of
-        # magnitude. The scalar fetch costs one transfer round-trip.
         voiced = int(jax.device_get(block.vad[-1]))
         times.append(time.perf_counter() - t0)
-    best = min(times)
+    serialized = min(times)
+
+    best = min(pipelined, serialized)
     audio_sec_per_sec = seconds / best
 
     # parity: normalized MSE vs the NumPy oracle on a 30 s slice
@@ -124,6 +140,8 @@ def main() -> None:
                 "feature_nmse": {k: float(f"{v:.3e}") for k, v in mses.items()},
                 "frames_per_call": int(np.asarray(block.energy).shape[0]),
                 "best_time_s": round(best, 5),
+                "pipelined_time_s": round(pipelined, 5),
+                "serialized_time_s": round(serialized, 5),
                 "backend": jax.default_backend(),
                 **(
                     {"pallas_vs_xla_nmse_max": float(f"{max(pallas_nmse.values()):.3e}")}
