@@ -239,6 +239,72 @@ class FeaturePipeline:
         )
         return block, new_state
 
+    # Column layout of the packed block output (process_block_packed):
+    # 0 energy, 1 zcr, 2 entropy, 3 vad, 4 vad_adaptive, 5: mfcc (num_ceps).
+    PACKED_PREFIX_COLS = 5
+
+    def _process_block_packed_impl(
+        self, frames_raw: jnp.ndarray, packed_state: jnp.ndarray, n_valid: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        c = self.cfg
+        state = vad_ops.unpack_state(packed_state, c.history_len)
+        valid = jnp.arange(frames_raw.shape[0], dtype=jnp.int32) < n_valid
+        block, new_state = self._process_block_impl(frames_raw, state, valid)
+        out = jnp.concatenate(
+            [
+                block.energy[:, None],
+                block.zcr[:, None],
+                block.entropy[:, None],
+                # vad values are 0/1: a value cast to f32 is exact
+                block.vad.astype(jnp.float32)[:, None],
+                block.vad_adaptive.astype(jnp.float32)[:, None],
+                block.mfcc,
+            ],
+            axis=1,
+        )
+        return out, vad_ops.pack_state(new_state)
+
+    def process_block_packed(
+        self, frames_raw, packed_state, n_valid: int
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Streaming block with single-buffer I/O for tunneled/remote devices.
+
+        Instead of 4 state leaves in, 6 block leaves + 4 state leaves out
+        (each leaf a separate client transfer on the experimental remote PJRT
+        backend — per-call cost AND a documented per-call host-memory leak,
+        docs/faq.md), this variant moves exactly three buffers per dispatch:
+        frames + packed state in, one ``(F, 5+num_ceps)`` f32 block out (the
+        new packed state stays on device). Bit-identical outputs to
+        ``process_block`` with a full-width ``valid`` mask (tests enforce).
+
+        Returns ``(packed_block, new_packed_state)``; split the block with
+        :meth:`split_packed_block`.
+        """
+        if not hasattr(self, "_block_packed_jit"):
+            self._block_packed_jit = jax.jit(self._process_block_packed_impl)
+        return self._block_packed_jit(
+            jnp.asarray(frames_raw, dtype=jnp.float32),
+            packed_state,
+            jnp.int32(n_valid),
+        )
+
+    def initial_packed_state(self) -> np.ndarray:
+        return vad_ops.initial_packed_state(
+            self.cfg.history_len, self.cfg.hangover_on
+        )
+
+    def split_packed_block(self, packed_host: np.ndarray, n: int) -> FeatureBlock:
+        """Host-side view split of a fetched packed block (first ``n`` rows)."""
+        p = np.asarray(packed_host)[:n]
+        return FeatureBlock(
+            energy=p[:, 0],
+            zcr=p[:, 1],
+            entropy=p[:, 2],
+            vad=p[:, 3].astype(np.int32),
+            vad_adaptive=p[:, 4].astype(np.int32),
+            mfcc=p[:, self.PACKED_PREFIX_COLS :],
+        )
+
     def _device_stream_frames(self, signal: jnp.ndarray) -> jnp.ndarray:
         """Streaming-style framing ON DEVICE: only full frames, no padding
         (engine.py:240-242 semantics), via the strided-reshape fast path so

@@ -45,6 +45,9 @@ __all__ = [
     "streaming_vad",
     "hangover_smooth",
     "hangover_smooth_scan",
+    "pack_state",
+    "unpack_state",
+    "initial_packed_state",
 ]
 
 _NEG_LARGE = jnp.int32(-(2**30))
@@ -130,6 +133,51 @@ def initial_vad_state(history_len: int = 256, hangover_on: int = 3) -> VadState:
         count=jnp.int32(0),
         last_voiced=jnp.int32(-(int(hangover_on) + 1)),
     )
+
+
+def pack_state(state: VadState) -> jnp.ndarray:
+    """Flatten a ``VadState`` into ONE f32 vector ``(2*history_len + 2,)``.
+
+    The two int32 scalars are bitcast (not value-cast), so the round trip is
+    exact for every possible value — including the ``-(2**30)``-magnitude
+    cold-start ``last_voiced``, which a value cast to f32 would round.
+
+    Why: each device buffer moved through the experimental tunneled PJRT
+    client costs a full round-trip and leaks ~tens of KB per call
+    (docs/faq.md); carrying the streaming state as one buffer instead of four
+    halves the engine's per-dispatch call count.
+    """
+    scalars = jnp.stack(
+        [jnp.int32(state.count), jnp.int32(state.last_voiced)]
+    )
+    return jnp.concatenate(
+        [
+            jnp.asarray(state.energy_buf, jnp.float32),
+            jnp.asarray(state.zcr_buf, jnp.float32),
+            jax.lax.bitcast_convert_type(scalars, jnp.float32),
+        ]
+    )
+
+
+def unpack_state(packed: jnp.ndarray, history_len: int) -> VadState:
+    """Inverse of :func:`pack_state` (shape-static; safe inside jit)."""
+    scalars = jax.lax.bitcast_convert_type(packed[-2:], jnp.int32)
+    return VadState(
+        energy_buf=packed[:history_len],
+        zcr_buf=packed[history_len : 2 * history_len],
+        count=scalars[0],
+        last_voiced=scalars[1],
+    )
+
+
+def initial_packed_state(
+    history_len: int = 256, hangover_on: int = 3
+) -> np.ndarray:
+    """Host-side packed initial state (no device round-trip needed)."""
+    out = np.zeros((2 * history_len + 2,), dtype=np.float32)
+    scalars = np.array([0, -(int(hangover_on) + 1)], dtype=np.int32)
+    out[-2:] = scalars.view(np.float32)
+    return out
 
 
 def _trailing_means(

@@ -39,7 +39,6 @@ from collections import deque
 import numpy as np
 
 from ..config import Config
-from ..ops import vad as vad_ops
 from ..ops.pipeline import FeatureConfig, FeaturePipeline
 from .audio_source import AudioSource, PyAudioSource
 
@@ -123,7 +122,12 @@ class AudioRuntime:
         self._pending: list[np.ndarray] = []  # captured, not yet processed
         self._pending_samples = 0
         self._update_max_pending()
-        self._vad_state: vad_ops.VadState = self.pipeline.initial_state()
+        # Streaming VAD state, packed into ONE f32 buffer (ops/vad.py
+        # pack_state): after the first dispatch it lives on the device and
+        # never round-trips, so each block moves 3 buffers total instead of
+        # 10+ — on the tunneled remote client every buffer is a separate
+        # call with a documented per-call host-memory leak (docs/faq.md).
+        self._vad_state_packed = self.pipeline.initial_packed_state()
         self._buckets = _parse_buckets(
             getattr(Config, "TPU_STREAM_BUCKETS", (32, 256, 2048))
         )
@@ -174,11 +178,12 @@ class AudioRuntime:
             self.energy_history.clear()
             self.zcr_history.clear()
             self.audio_display_buffer.clear()
-        # reset history, keep hangover distance
-        fresh = self.pipeline.initial_state()
-        self._vad_state = vad_ops.VadState(
-            fresh.energy_buf, fresh.zcr_buf, fresh.count, self._vad_state.last_voiced
-        )
+        # reset history, keep hangover distance: copy the last_voiced slot's
+        # raw bits (an int32 bitcast into the f32 packed state) into a fresh
+        # zero-history state — a byte copy, so the value is preserved exactly
+        fresh = self.pipeline.initial_packed_state()
+        fresh[-1] = np.asarray(self._vad_state_packed)[-1]
+        self._vad_state_packed = fresh
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -271,37 +276,39 @@ class AudioRuntime:
         return self._buckets[-1]
 
     def _dispatch(self, frames: np.ndarray):
-        """Pad to a bucket and enqueue one fused device call (non-blocking)."""
+        """Pad to a bucket and enqueue one fused device call (non-blocking).
+
+        Packed I/O: frames + one packed-state buffer in, one packed block
+        buffer out (the new state never leaves the device) — 3 buffers per
+        dispatch instead of 10+ leaves, which matters on remote clients where
+        every buffer is a separate call (cost + documented per-call leak).
+        """
         n = frames.shape[0]
         bucket = self._bucket_for(n)
         if bucket != n:
             frames = np.pad(frames, ((0, bucket - n), (0, 0)))
-        valid = np.arange(bucket) < n
-        import jax.numpy as jnp
-
-        block, new_state = self.pipeline.process_block(
-            frames, self._vad_state, valid=jnp.asarray(valid)
+        out, self._vad_state_packed = self.pipeline.process_block_packed(
+            frames, self._vad_state_packed, n
         )
-        self._vad_state = new_state
-        return block, n
+        return out, n
 
     def _materialize(self, inflight) -> None:
         """Bring one dispatched block's results to the host and publish them.
 
-        One batched device_get for the whole block: per-array fetches each
+        ONE device_get of ONE packed array per block: per-array fetches each
         pay a full host<->device round-trip, which on tunneled hardware is
         ~200 ms — 6x that per block throttled the engine below real time.
         """
         import jax
 
-        block, n = inflight
-        host = jax.device_get(block)
-        energy = host.energy[:n]
-        zcr = host.zcr[:n]
-        entropy = host.entropy[:n]
-        vad = host.vad[:n]
-        vad_adaptive = host.vad_adaptive[:n]
-        mfcc = host.mfcc[:n]
+        out, n = inflight
+        host = self.pipeline.split_packed_block(jax.device_get(out), n)
+        energy = host.energy
+        zcr = host.zcr
+        entropy = host.entropy
+        vad = host.vad
+        vad_adaptive = host.vad_adaptive
+        mfcc = host.mfcc
         with self.lock:
             for i in range(n):
                 self.energy_history.append(float(energy[i]))
