@@ -120,6 +120,44 @@ def test_packed_chunked_with_bucket_padding_equals_unpacked():
     assert int(final_p.last_voiced) == int(state_u.last_voiced)
 
 
+def test_packed_fuzz_nondefault_geometry():
+    """Packed == unpacked under non-default configs: the packed column
+    layout must track num_ceps, and the packed state must track
+    history_len/hangover_on."""
+    import pytest
+
+    for seed, (ceps, hist, on, off) in enumerate(
+        [(20, 64, 1, 4), (7, 16, 0, 0), (13, 300, 5, 1)]
+    ):
+        cfg = FeatureConfig(
+            num_ceps=ceps, history_len=hist, hangover_on=on, release_off=off
+        )
+        pipe = FeaturePipeline(cfg)
+        frames = pipe.stream_frames(synth_signal(16000, seed=seed))
+        rng = np.random.default_rng(seed)
+        state_u = pipe.initial_state()
+        state_p = pipe.initial_packed_state()
+        lo = 0
+        while lo < frames.shape[0]:
+            n = min(int(rng.integers(1, 40)), frames.shape[0] - lo)
+            part = frames[lo : lo + n]
+            pad = int(rng.integers(0, 9))
+            if pad:
+                part = np.pad(part, ((0, pad), (0, 0)))
+            valid = jnp.arange(part.shape[0]) < n
+            want, state_u = pipe.process_block(part, state_u, valid=valid)
+            packed, state_p = pipe.process_block_packed(part, state_p, n)
+            got = pipe.split_packed_block(jax.device_get(packed), n)
+            assert got.mfcc.shape == (n, ceps)
+            for field in ("energy", "zcr", "entropy", "mfcc", "vad", "vad_adaptive"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(got, field)),
+                    np.asarray(getattr(want, field))[:n],
+                    err_msg=f"seed={seed} {field} n={n} pad={pad}",
+                )
+            lo += n
+
+
 def test_engine_reset_preserves_last_voiced_bits():
     """set_audio_source resets history but keeps the hangover distance; with
     the packed state this is a raw-bit copy of the last_voiced slot."""
