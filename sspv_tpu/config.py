@@ -112,6 +112,12 @@ class Config:
     # (docs/benchmarks.md) and XLA needs no custom kernel there — so this
     # knob does not affect it.
     TPU_USE_PALLAS = True
+    # Matmul precision for the pipeline's parity-critical DFT/mel/DCT
+    # matmuls: "highest" (f32-accurate), "high" (bf16_3x on TPU: ~f32
+    # quality, roughly 2x the MXU rate), "default" (one bf16 pass; ~1e-5
+    # relative error — at the edge of the parity gate, opt-in only).
+    # Measured speed/parity tradeoff: docs/benchmarks.md.
+    TPU_MATMUL_PRECISION = "highest"
     # Low-latency streaming: materialize each dispatched block immediately
     # instead of keeping one block in flight (halves result latency at some
     # throughput cost), and add a small 8-frame bucket so near-real-time

@@ -62,6 +62,7 @@ def _feature_kernel(
     frame_size: int,
     n_bins: int,
     compute_entropy: bool = True,
+    precision=_HIGHEST,
 ):
     x = frames_ref[:]  # (BF, frame_size) f32
     w = window_ref[:]  # (1, frame_size)
@@ -82,11 +83,11 @@ def _feature_kernel(
     # Windowed power spectrum as a real/imag DFT matmul pair (MXU).
     re = jax.lax.dot_general(
         x, wc_ref[:], (((1,), (0,)), ((), ())),
-        precision=_HIGHEST, preferred_element_type=jnp.float32,
+        precision=precision, preferred_element_type=jnp.float32,
     )
     im = jax.lax.dot_general(
         x, ws_ref[:], (((1,), (0,)), ((), ())),
-        precision=_HIGHEST, preferred_element_type=jnp.float32,
+        precision=precision, preferred_element_type=jnp.float32,
     )
     power = re * re + im * im  # (BF, n_bins)
 
@@ -94,13 +95,13 @@ def _feature_kernel(
     mel = jnp.maximum(
         jax.lax.dot_general(
             power, fbt_ref[:], (((1,), (0,)), ((), ())),
-            precision=_HIGHEST, preferred_element_type=jnp.float32,
+            precision=precision, preferred_element_type=jnp.float32,
         ),
         jnp.float32(1e-10),
     )
     mfcc = jax.lax.dot_general(
         jnp.log(mel), dct_ref[:], (((1,), (0,)), ((), ())),
-        precision=_HIGHEST, preferred_element_type=jnp.float32,
+        precision=precision, preferred_element_type=jnp.float32,
     )
     mfcc_ref[:] = mfcc * lifter_ref[:]
 
@@ -120,7 +121,7 @@ def _feature_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("frame_size", "n_bins", "num_ceps", "block_frames",
-                     "compute_entropy"),
+                     "compute_entropy", "precision"),
 )
 def _fused_call(
     frames,
@@ -136,6 +137,7 @@ def _fused_call(
     num_ceps: int,
     block_frames: int,
     compute_entropy: bool = True,
+    precision=_HIGHEST,
 ):
     f_pad = frames.shape[0]
     grid = (f_pad // block_frames,)
@@ -149,7 +151,7 @@ def _fused_call(
     const = lambda shape: vmem_spec(shape, lambda i: (0, 0))
     kernel = functools.partial(
         _feature_kernel, frame_size=frame_size, n_bins=n_bins,
-        compute_entropy=compute_entropy,
+        compute_entropy=compute_entropy, precision=precision,
     )
     out_shapes = (
         jax.ShapeDtypeStruct((f_pad, 1), jnp.float32),  # energy
@@ -191,6 +193,7 @@ def fused_features(
     lifter: np.ndarray,
     window: np.ndarray,
     entropy_bases: tuple = (None, None),
+    precision=_HIGHEST,
 ) -> dict:
     """Fused per-frame features for raw ``(F, frame_size)`` float32 frames.
 
@@ -220,6 +223,7 @@ def fused_features(
         num_ceps=num_ceps,
         block_frames=block_frames,
         compute_entropy=entropy_bases[0] is None,
+        precision=precision,
     )
     out = {
         "energy": energy[:f, 0],
@@ -231,9 +235,9 @@ def fused_features(
         from .frequency_features import entropy_from_power
 
         wce, wse = entropy_bases
-        re = jnp.matmul(frames, jnp.asarray(wce), precision=_HIGHEST,
+        re = jnp.matmul(frames, jnp.asarray(wce), precision=precision,
                         preferred_element_type=jnp.float32)
-        im = jnp.matmul(frames, jnp.asarray(wse), precision=_HIGHEST,
+        im = jnp.matmul(frames, jnp.asarray(wse), precision=precision,
                         preferred_element_type=jnp.float32)
         out["entropy"] = entropy_from_power(re * re + im * im)
     return out

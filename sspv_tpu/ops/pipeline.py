@@ -62,6 +62,11 @@ class FeatureConfig(NamedTuple):
     release_off: int = 2
     history_len: int = 256
     use_pallas: bool = True
+    # Matmul precision for the parity-critical DFT/mel/DCT matmuls:
+    # "highest" (f32-accurate, default), "high" (bf16_3x on TPU — ~f32
+    # quality at ~2x MXU rate), "default" (one bf16 pass — fastest, ~1e-5
+    # relative error; at the edge of the parity gate, opt-in only).
+    precision: str = "highest"
 
     @classmethod
     def from_config(cls, config=None) -> "FeatureConfig":
@@ -87,6 +92,9 @@ class FeatureConfig(NamedTuple):
             release_off=int(c.VAD_RELEASE_OFF),
             history_len=int(getattr(c, "VAD_HISTORY_LEN", 256)),
             use_pallas=bool(getattr(c, "TPU_USE_PALLAS", True)),
+            precision=str(
+                getattr(c, "TPU_MATMUL_PRECISION", "highest") or "highest"
+            ).lower(),
         )
 
 
@@ -133,6 +141,11 @@ class FeaturePipeline:
         self._dct = bases.dct_ortho_matrix(c.num_filters, c.num_ceps)
         self._lifter = bases.lifter_vector(c.num_ceps, c.lifter)
 
+        self._precision = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }.get(c.precision, jax.lax.Precision.HIGHEST)
         self._use_pallas = bool(c.use_pallas) and _pallas_available()
         self._features_jit = jax.jit(self._features)
         self._block_jit = jax.jit(self._process_block_impl)
@@ -146,9 +159,9 @@ class FeaturePipeline:
             wc, ws = self._wc_ent, self._ws_ent
         else:
             wc, ws = self._wc, self._ws
-        re = jnp.matmul(frames, jnp.asarray(wc), precision=_HIGHEST,
+        re = jnp.matmul(frames, jnp.asarray(wc), precision=self._precision,
                         preferred_element_type=jnp.float32)
-        im = jnp.matmul(frames, jnp.asarray(ws), precision=_HIGHEST,
+        im = jnp.matmul(frames, jnp.asarray(ws), precision=self._precision,
                         preferred_element_type=jnp.float32)
         return re * re + im * im
 
@@ -168,6 +181,7 @@ class FeaturePipeline:
                 lifter=self._lifter,
                 window=self._window,
                 entropy_bases=(self._wc_ent, self._ws_ent),
+                precision=self._precision,
             )
         w = jnp.asarray(self._window)
         windowed = x * w
@@ -185,11 +199,11 @@ class FeaturePipeline:
         (used by both the frames path and the signal-view path; the Pallas
         kernel carries its own fused copy)."""
         mel = jnp.maximum(
-            jnp.matmul(power, jnp.asarray(self._fb_t), precision=_HIGHEST,
+            jnp.matmul(power, jnp.asarray(self._fb_t), precision=self._precision,
                        preferred_element_type=jnp.float32),
             jnp.float32(1e-10),
         )
-        mfcc = jnp.matmul(jnp.log(mel), jnp.asarray(self._dct), precision=_HIGHEST,
+        mfcc = jnp.matmul(jnp.log(mel), jnp.asarray(self._dct), precision=self._precision,
                           preferred_element_type=jnp.float32)
         mfcc = mfcc * jnp.asarray(self._lifter)
         return {
@@ -350,8 +364,8 @@ class FeaturePipeline:
 
         w = jnp.asarray(self._window)
         w2 = w * w
-        energy = jnp.matmul(top * top, w2[:hop], precision=_HIGHEST) + jnp.matmul(
-            bot * bot, w2[hop:], precision=_HIGHEST
+        energy = jnp.matmul(top * top, w2[:hop], precision=self._precision) + jnp.matmul(
+            bot * bot, w2[hop:], precision=self._precision
         )
 
         signs = jnp.sign(x)
@@ -361,13 +375,13 @@ class FeaturePipeline:
         zcr = crossings.astype(jnp.float32) / jnp.float32(c.frame_size)
 
         def spectrum(wc, ws):
-            re = jnp.matmul(top, jnp.asarray(wc[:hop]), precision=_HIGHEST,
+            re = jnp.matmul(top, jnp.asarray(wc[:hop]), precision=self._precision,
                             preferred_element_type=jnp.float32) + jnp.matmul(
-                bot, jnp.asarray(wc[hop:]), precision=_HIGHEST,
+                bot, jnp.asarray(wc[hop:]), precision=self._precision,
                 preferred_element_type=jnp.float32)
-            im = jnp.matmul(top, jnp.asarray(ws[:hop]), precision=_HIGHEST,
+            im = jnp.matmul(top, jnp.asarray(ws[:hop]), precision=self._precision,
                             preferred_element_type=jnp.float32) + jnp.matmul(
-                bot, jnp.asarray(ws[hop:]), precision=_HIGHEST,
+                bot, jnp.asarray(ws[hop:]), precision=self._precision,
                 preferred_element_type=jnp.float32)
             return re * re + im * im
 

@@ -71,3 +71,20 @@ def test_setup_logging_and_print_config(caplog):
     with caplog.at_level(logging.INFO):
         Config.print_config()
     assert any("16000" in r.message or "8000" in r.message for r in caplog.records)
+
+
+def test_matmul_precision_knob():
+    """TPU_MATMUL_PRECISION maps through FeatureConfig to a lax.Precision."""
+    import jax
+
+    from sspv_tpu.config import Config
+    from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
+
+    assert FeatureConfig.from_config(Config).precision == "highest"
+    for name, want in [
+        ("highest", jax.lax.Precision.HIGHEST),
+        ("high", jax.lax.Precision.HIGH),
+        ("default", jax.lax.Precision.DEFAULT),
+        ("garbage", jax.lax.Precision.HIGHEST),  # unknown -> safe default
+    ]:
+        assert FeaturePipeline(FeatureConfig(precision=name))._precision == want

@@ -49,7 +49,6 @@ def main(argv):
     from jax import lax
 
     from sspv_tpu.utils.cache import enable_persistent_cache
-    import sspv_tpu.ops.pipeline as plmod
     from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
 
     enable_persistent_cache("/root/repo/.jax_cache")
@@ -154,19 +153,11 @@ def main(argv):
     run_stage(base, "features", "features_no_vad")
     run_stage(base, "vad", "features_plus_vad")
 
-    # precision variants: swap the module-level precision used by every
-    # parity matmul, retrace, measure, and report parity headroom
-    for prec, name in [
-        (jax.lax.Precision.HIGH, "full_high"),
-        (jax.lax.Precision.DEFAULT, "full_default"),
-    ]:
-        old = plmod._HIGHEST
-        plmod._HIGHEST = prec
-        try:
-            pipe = FeaturePipeline(FeatureConfig())
-            run_full(pipe, name, parity(pipe))
-        finally:
-            plmod._HIGHEST = old
+    # precision variants via the FeatureConfig knob: retrace, measure,
+    # and report parity headroom
+    for prec in ("high", "default"):
+        pipe = FeaturePipeline(FeatureConfig(precision=prec))
+        run_full(pipe, f"full_{prec}", parity(pipe))
 
     # scan-block sensitivity
     for blk in (16384, 65536):
