@@ -97,10 +97,19 @@ def main(argv):
             def step(st, inp):
                 start, va = inp
                 rb = lax.dynamic_slice(rows, (start, 0), (b + 1, hop))
-                if stage == "spectrum":
+                if stage in ("spectrum", "spectrum_merged"):
                     top, bot = rb[:-1], rb[1:]
                     wc, ws = pipe._wc, pipe._ws
                     hi = jax.lax.Precision.HIGHEST
+                    if stage == "spectrum_merged":
+                        # one (hop, 2*n_bins) basis per half: 2 wide matmuls
+                        # instead of 4 narrow ones
+                        w_all = np.concatenate([wc, ws], axis=1)
+                        zc = jnp.matmul(top, jnp.asarray(w_all[:hop]), precision=hi) + jnp.matmul(
+                            bot, jnp.asarray(w_all[hop:]), precision=hi)
+                        nb_ = wc.shape[1]
+                        re, im = zc[:, :nb_], zc[:, nb_:]
+                        return st, jnp.sum(re * re + im * im)
                     re = jnp.matmul(top, jnp.asarray(wc[:hop]), precision=hi) + jnp.matmul(
                         bot, jnp.asarray(wc[hop:]), precision=hi)
                     im = jnp.matmul(top, jnp.asarray(ws[:hop]), precision=hi) + jnp.matmul(
@@ -150,6 +159,7 @@ def main(argv):
     base = FeaturePipeline(FeatureConfig())
     run_full(base, "full_highest")
     run_stage(base, "spectrum", "spectrum_only")
+    run_stage(base, "spectrum_merged", "spectrum_merged")
     run_stage(base, "features", "features_no_vad")
     run_stage(base, "vad", "features_plus_vad")
 
