@@ -201,6 +201,11 @@ def fused_features(
     When a distinct entropy FFT size is configured (``entropy_bases`` set), the
     entropy spectrum is computed outside the kernel with a second matmul pair.
     """
+    if precision == jax.lax.Precision.HIGH:
+        # Mosaic lowers DEFAULT and HIGHEST dots only; HIGH (bf16x3 passes)
+        # has no in-kernel lowering rule and raises NotImplementedError at
+        # compile. Round up so the precision knob never crashes the TPU path.
+        precision = _HIGHEST
     f, frame_size = frames.shape
     n_bins = wc.shape[1]
     num_ceps = dct.shape[1]

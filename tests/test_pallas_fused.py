@@ -43,6 +43,29 @@ def test_fused_features_matches_oracle():
     assert nmse(out["entropy"], oracle.spectral_entropy(windowed, 512)) < 1e-6
 
 
+def test_fused_features_high_precision_coerced():
+    """precision=HIGH must not crash (Mosaic has no HIGH lowering; the wrapper
+    rounds it up to HIGHEST) and must match the HIGHEST result exactly."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    raw = rng.normal(0, 2000, (16, 320)).astype(np.float32)
+    w = hamming_window(320)
+    wc, ws = bases.windowed_dft_bases(320, 512, "hamming")
+    kw = dict(
+        wc=wc,
+        ws=ws,
+        fb_t=bases.mel_filterbank_np(26, 512, 16000).T.copy(),
+        dct=bases.dct_ortho_matrix(26, 13),
+        lifter=bases.lifter_vector(13, 22),
+        window=w,
+    )
+    hi = fused_features(raw, precision=jax.lax.Precision.HIGHEST, **kw)
+    got = fused_features(raw, precision=jax.lax.Precision.HIGH, **kw)
+    for k in hi:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(hi[k]))
+
+
 def test_fused_features_small_batch_padding():
     rng = np.random.default_rng(10)
     raw = rng.normal(0, 1000, (3, 320)).astype(np.float32)
