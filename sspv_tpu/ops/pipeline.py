@@ -67,6 +67,11 @@ class FeatureConfig(NamedTuple):
     # quality at ~2x MXU rate), "default" (one bf16 pass — fastest, ~1e-5
     # relative error; at the edge of the parity gate, opt-in only).
     precision: str = "highest"
+    # Trailing-history sum implementation for the adaptive VAD: "conv"
+    # (ones-kernel convolution) or "blocked" (two-level block cumsums —
+    # far fewer VPU ops at the long-signal block shape; see
+    # tools/vad_microbench.py).
+    vad_trailing_impl: str = "conv"
 
     @classmethod
     def from_config(cls, config=None) -> "FeatureConfig":
@@ -94,6 +99,9 @@ class FeatureConfig(NamedTuple):
             use_pallas=bool(getattr(c, "TPU_USE_PALLAS", True)),
             precision=str(
                 getattr(c, "TPU_MATMUL_PRECISION", "highest") or "highest"
+            ).lower(),
+            vad_trailing_impl=str(
+                getattr(c, "TPU_VAD_TRAILING_IMPL", "conv") or "conv"
             ).lower(),
         )
 
@@ -242,6 +250,7 @@ class FeaturePipeline:
             release_off=c.release_off,
             history_len=c.history_len,
             valid=valid,
+            trailing_impl=c.vad_trailing_impl,
         )
         block = FeatureBlock(
             energy=feats["energy"],

@@ -180,20 +180,50 @@ def initial_packed_state(
     return out
 
 
+def _blocked_trailing_sums(ext: jnp.ndarray, f: int, history_len: int) -> jnp.ndarray:
+    """Sliding-window sums via two-level block cumsums (requires
+    ``f % history_len == 0`` so ``ext`` reshapes into whole blocks).
+
+    The window at frame ``t = q*H + r`` spans a suffix of block ``q`` plus a
+    prefix of block ``q+1``; one vectorized cumsum along the lane axis yields
+    every prefix/suffix at once. ~12 fused VPU ops instead of the H shifted
+    adds a ones-kernel convolution lowers to — the convolution dominated the
+    whole VAD stage on TPU (tools/vad_microbench.py). Float rounding differs
+    from the convolution at the ~1e-7 relative level; decision bit-parity vs
+    the sequential oracle is enforced by the chunking/padding fuzz tests.
+    """
+    h = history_len
+    nb = f // h
+    b = ext.reshape(nb + 1, h)
+    pre = jnp.cumsum(b, axis=1) - b  # exclusive prefix sums P[i, r]
+    tot = pre[:, -1] + b[:, -1]
+    suf = tot[:, None] - pre  # suffix sums S[i, r]
+    return (suf[:nb] + pre[1:]).reshape(f)
+
+
 def _trailing_means(
-    values: jnp.ndarray, buf: jnp.ndarray, count: jnp.ndarray, history_len: int
+    values: jnp.ndarray,
+    buf: jnp.ndarray,
+    count: jnp.ndarray,
+    history_len: int,
+    impl: str = "conv",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame mean of the previous <= history_len feature values.
 
     Returns ``(means, new_buf)``; frames with an empty history get the current
     value itself (vad.py:88-89 falls back to the current mean).
+    ``impl``: "conv" (ones-kernel convolution) or "blocked" (two-level block
+    cumsums; falls back to conv when ``f % history_len != 0``).
     """
     f = values.shape[0]
     ext = jnp.concatenate([buf, values])  # (history_len + f,)
-    kernel = jnp.ones((history_len,), dtype=jnp.float32)
-    # sums[t] = sum(ext[t : t+history_len]) = trailing window ending just
-    # before frame t.  jnp.convolve(ext, ones, 'valid') gives f+1 sums.
-    sums = jnp.convolve(ext, kernel, mode="valid")[:f]
+    if impl == "blocked" and f and f % history_len == 0:
+        sums = _blocked_trailing_sums(ext, f, history_len)
+    else:
+        kernel = jnp.ones((history_len,), dtype=jnp.float32)
+        # sums[t] = sum(ext[t : t+history_len]) = trailing window ending just
+        # before frame t.  jnp.convolve(ext, ones, 'valid') gives f+1 sums.
+        sums = jnp.convolve(ext, kernel, mode="valid")[:f]
     idx = jnp.arange(f, dtype=jnp.int32)
     counts = jnp.minimum(count + idx, history_len)
     means = jnp.where(
@@ -285,6 +315,7 @@ def streaming_vad(
     release_off: int = 2,
     history_len: int = 256,
     valid: jnp.ndarray | None = None,
+    trailing_impl: str = "conv",
 ) -> tuple[jnp.ndarray, jnp.ndarray, VadState]:
     """The engine's per-frame composite VAD over a block of frames.
 
@@ -314,8 +345,12 @@ def streaming_vad(
         e_in, z_in = e, z
 
     alpha = max(0.0, min(float(adaptive_alpha), 0.99))
-    e_hist_mean, new_e_buf = _trailing_means(e_in, state.energy_buf, state.count, history_len)
-    z_hist_mean, new_z_buf = _trailing_means(z_in, state.zcr_buf, state.count, history_len)
+    e_hist_mean, new_e_buf = _trailing_means(
+        e_in, state.energy_buf, state.count, history_len, trailing_impl
+    )
+    z_hist_mean, new_z_buf = _trailing_means(
+        z_in, state.zcr_buf, state.count, history_len, trailing_impl
+    )
 
     # NOTE on masking: _trailing_means uses count+arange(f); with padded tails
     # this overcounts for frames after an invalid frame. Buckets pad only the

@@ -119,6 +119,54 @@ def test_streaming_vad_padded_tail_equals_unpadded():
     assert int(state.last_voiced) == int(want_state.last_voiced)
 
 
+def test_streaming_vad_blocked_trailing_impl_matches_oracle():
+    """trailing_impl="blocked" (two-level block cumsums) must reproduce the
+    sequential oracle's decisions exactly, one-shot and chunked, including
+    chunk sizes that fall back to the conv path (non-multiples of 256)."""
+    energy, zcr, entropy = synth_features(1024, seed=13)
+    ref = oracle.EngineVadOracle()
+    want_vad, want_adp = ref.run_all(energy, zcr, entropy)
+    kwargs = dict(
+        energy_threshold=1000.0, zcr_threshold=0.3, entropy_voice_max=0.65,
+        use_adaptive=True, adaptive_alpha=3.0, trailing_impl="blocked",
+    )
+    state = vad_ops.initial_vad_state()
+    one_vad, one_adp, one_state = vad_ops.streaming_vad(
+        jnp.asarray(energy), jnp.asarray(zcr), jnp.asarray(entropy), state, **kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(one_vad), want_vad)
+    np.testing.assert_array_equal(np.asarray(one_adp), want_adp)
+
+    for sizes in [[256, 512, 256], [512] * 2, [100, 412, 512], [768, 256]]:
+        state = vad_ops.initial_vad_state()
+        outs_v, outs_a = [], []
+        pos = 0
+        for s in sizes:
+            v, a, state = vad_ops.streaming_vad(
+                jnp.asarray(energy[pos:pos + s]),
+                jnp.asarray(zcr[pos:pos + s]),
+                jnp.asarray(entropy[pos:pos + s]),
+                state, **kwargs,
+            )
+            outs_v.append(np.asarray(v))
+            outs_a.append(np.asarray(a))
+            pos += s
+        np.testing.assert_array_equal(
+            np.concatenate(outs_v), want_vad, err_msg=str(sizes)
+        )
+        np.testing.assert_array_equal(np.concatenate(outs_a), want_adp)
+    # carried state identical to the conv implementation (same ext window)
+    conv_state = vad_ops.initial_vad_state()
+    _, _, conv_state = vad_ops.streaming_vad(
+        jnp.asarray(energy), jnp.asarray(zcr), jnp.asarray(entropy),
+        conv_state, **{**kwargs, "trailing_impl": "conv"},
+    )
+    np.testing.assert_array_equal(
+        np.asarray(one_state.energy_buf), np.asarray(conv_state.energy_buf)
+    )
+    assert int(one_state.last_voiced) == int(conv_state.last_voiced)
+
+
 def test_full_pipeline_signal_matches_sequential_oracle():
     """End-to-end: synthesize a signal, run the fused pipeline, and compare
     the smoothed VAD stream against a frame-by-frame oracle using oracle
