@@ -118,11 +118,13 @@ class Config:
     # relative error — at the edge of the parity gate, opt-in only).
     # Measured speed/parity tradeoff: docs/benchmarks.md.
     TPU_MATMUL_PRECISION = "highest"
-    # Adaptive-VAD trailing-history sums: "conv" (ones-kernel convolution)
-    # or "blocked" (two-level block cumsums; ~12 fused VPU ops instead of
-    # history_len shifted adds on the long-signal block shape — see
-    # tools/vad_microbench.py / docs/benchmarks.md).
-    TPU_VAD_TRAILING_IMPL = "conv"
+    # Adaptive-VAD trailing-history sums: "blocked" (two-level block
+    # cumsums, default) or "conv" (ones-kernel convolution, the original
+    # formulation; "blocked" falls back to it when the block length is not
+    # a multiple of VAD_HISTORY_LEN). Measured on TPU: the convolution was
+    # ~24 ms of the 55 ms full-hour pipeline; blocked cuts the pipeline to
+    # 18 ms with bit-identical decisions (docs/benchmarks.md).
+    TPU_VAD_TRAILING_IMPL = "blocked"
     # Low-latency streaming: materialize each dispatched block immediately
     # instead of keeping one block in flight (halves result latency at some
     # throughput cost), and add a small 8-frame bucket so near-real-time

@@ -67,11 +67,13 @@ class FeatureConfig(NamedTuple):
     # quality at ~2x MXU rate), "default" (one bf16 pass — fastest, ~1e-5
     # relative error; at the edge of the parity gate, opt-in only).
     precision: str = "highest"
-    # Trailing-history sum implementation for the adaptive VAD: "conv"
-    # (ones-kernel convolution) or "blocked" (two-level block cumsums —
-    # far fewer VPU ops at the long-signal block shape; see
-    # tools/vad_microbench.py).
-    vad_trailing_impl: str = "conv"
+    # Trailing-history sum implementation for the adaptive VAD: "blocked"
+    # (two-level block cumsums — default; falls back to conv when the block
+    # length is not a multiple of history_len) or "conv" (ones-kernel
+    # convolution). On TPU the convolution dominated the whole VAD stage
+    # (~24 ms of the 55 ms full-hour pipeline; blocked: 18 ms total with
+    # bit-identical decisions — docs/benchmarks.md).
+    vad_trailing_impl: str = "blocked"
 
     @classmethod
     def from_config(cls, config=None) -> "FeatureConfig":

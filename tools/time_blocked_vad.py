@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Time the full flagship pipeline with vad_trailing_impl="blocked" vs "conv"
+on the current backend, and assert decision equality between the two over the
+full signal. One JSON line per variant (methodology of tools/ablate_bench.py).
+
+    python tools/time_blocked_vad.py [seconds]   # default 3600
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv):
+    seconds = float(argv[0]) if argv else 3600.0
+    sys.path.insert(0, "/root/repo")
+    import jax
+    import jax.numpy as jnp
+
+    from sspv_tpu.utils.cache import enable_persistent_cache
+    from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
+
+    enable_persistent_cache("/root/repo/.jax_cache")
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    sig_np = rng.normal(0, 40, n)
+    seg = (t * 2).astype(int) % 4
+    sig_np = np.where(seg == 1, 6000 * np.sin(2 * np.pi * 130 * t), sig_np)
+    sig_np = np.where(seg == 2, rng.normal(0, 2000, n), sig_np)
+    sig_np = sig_np.astype(np.float32)
+    sig = jax.device_put(jnp.asarray(sig_np))
+
+    vads = {}
+    for impl in ("conv", "blocked"):
+        pipe = FeaturePipeline(FeatureConfig(vad_trailing_impl=impl))
+        state0 = pipe.initial_state()
+
+        block, _ = pipe.process_signal_device(sig, state0)
+        jax.block_until_ready(block)
+        vads[impl] = np.asarray(jax.device_get(block.vad))
+
+        reps = 6
+        tails = []
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            block, _ = pipe.process_signal_device(sig, state0)
+            tails.append(block.vad[-1])
+        int(jax.device_get(jnp.stack(tails).sum()))
+        per = (time.perf_counter() - t0) / reps
+        print(
+            json.dumps(
+                {
+                    "variant": f"full_vad_{impl}",
+                    "time_s": round(per, 5),
+                    "audio_x_realtime": round(seconds / per, 1),
+                }
+            ),
+            flush=True,
+        )
+
+    equal = bool(np.array_equal(vads["conv"], vads["blocked"]))
+    print(json.dumps({"decisions_identical": equal,
+                      "voiced": int(vads["conv"].sum()),
+                      "backend": jax.default_backend()}))
+    assert equal, "blocked vs conv VAD decisions diverged on device"
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
