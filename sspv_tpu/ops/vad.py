@@ -223,7 +223,12 @@ def _trailing_means(
         kernel = jnp.ones((history_len,), dtype=jnp.float32)
         # sums[t] = sum(ext[t : t+history_len]) = trailing window ending just
         # before frame t.  jnp.convolve(ext, ones, 'valid') gives f+1 sums.
-        sums = jnp.convolve(ext, kernel, mode="valid")[:f]
+        # Precision pinned: on TPU the convolution rides the MXU, where
+        # DEFAULT is a single bf16 pass (~4e-4 relative on these sums —
+        # measured in tools/vad_microbench.py); threshold decisions need f32.
+        sums = jnp.convolve(
+            ext, kernel, mode="valid", precision=jax.lax.Precision.HIGHEST
+        )[:f]
     idx = jnp.arange(f, dtype=jnp.int32)
     counts = jnp.minimum(count + idx, history_len)
     means = jnp.where(
