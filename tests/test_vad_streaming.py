@@ -119,6 +119,18 @@ def test_streaming_vad_padded_tail_equals_unpadded():
     assert int(state.last_voiced) == int(want_state.last_voiced)
 
 
+def test_blocked_trailing_sums_unit():
+    """_blocked_trailing_sums == direct per-window sums (f64 tolerance)."""
+    rng = np.random.default_rng(21)
+    for f, h in [(256, 256), (512, 256), (96, 32), (1024, 128)]:
+        ext = rng.uniform(0, 1e6, h + f).astype(np.float32)
+        got = np.asarray(vad_ops._blocked_trailing_sums(jnp.asarray(ext), f, h))
+        want = np.array(
+            [ext[t : t + h].astype(np.float64).sum() for t in range(f)]
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-6)
+
+
 def test_streaming_vad_blocked_trailing_impl_matches_oracle():
     """trailing_impl="blocked" (two-level block cumsums) must reproduce the
     sequential oracle's decisions exactly, one-shot and chunked, including
