@@ -179,6 +179,48 @@ def test_streaming_vad_blocked_trailing_impl_matches_oracle():
     assert int(one_state.last_voiced) == int(conv_state.last_voiced)
 
 
+def test_scan_blocks_with_blocked_trailing_matches_oracle():
+    """The blocked trailing sums inside the lax.scan long-signal path (block
+    size a multiple of history_len, state carried across scan steps) must
+    stay decision-identical to the sequential oracle. CI's other scan tests
+    shrink SCAN_BLOCK_FRAMES below 256 and so fall back to conv; this one
+    uses 256-frame scan blocks to engage the blocked path inside the scan."""
+    rng = np.random.default_rng(17)
+    sr = 16000
+    n_frames = 1024  # 4 scan blocks of 256
+    length = 320 + (n_frames - 1) * 160
+    t = np.arange(length) / sr
+    sig = rng.normal(0, 40, length).astype(np.float32)
+    seg = (t * 2).astype(int) % 4
+    sig = np.where(seg == 1, 6000 * np.sin(2 * np.pi * 130 * t), sig).astype(np.float32)
+    sig = np.where(seg == 2, rng.normal(0, 2000, length), sig).astype(np.float32)
+
+    pipe = FeaturePipeline(FeatureConfig(vad_trailing_impl="blocked"))
+    old = FeaturePipeline.SCAN_BLOCK_FRAMES
+    FeaturePipeline.SCAN_BLOCK_FRAMES = 256
+    try:
+        pipe2 = FeaturePipeline(FeatureConfig(vad_trailing_impl="blocked"))
+        block, _ = pipe2.process_signal(sig)
+    finally:
+        FeaturePipeline.SCAN_BLOCK_FRAMES = old
+    # one-shot (single 1024-frame block, no scan) as the reference run
+    want_block, _ = pipe.process_signal(sig)
+    np.testing.assert_array_equal(
+        np.asarray(block.vad), np.asarray(want_block.vad)
+    )
+    # and both against the sequential oracle
+    w = oracle.hamming(320)
+    windowed = (pipe.stream_frames(sig) * w).astype(np.float32)
+    ref = oracle.EngineVadOracle()
+    want_vad, want_adp = ref.run_all(
+        oracle.short_time_energy(windowed),
+        oracle.zero_crossing_rate(windowed),
+        oracle.spectral_entropy(windowed, 512),
+    )
+    np.testing.assert_array_equal(np.asarray(block.vad), want_vad)
+    np.testing.assert_array_equal(np.asarray(block.vad_adaptive), want_adp)
+
+
 def test_full_pipeline_signal_matches_sequential_oracle():
     """End-to-end: synthesize a signal, run the fused pipeline, and compare
     the smoothed VAD stream against a frame-by-frame oracle using oracle
