@@ -103,7 +103,7 @@ class FeatureConfig(NamedTuple):
                 getattr(c, "TPU_MATMUL_PRECISION", "highest") or "highest"
             ).lower(),
             vad_trailing_impl=str(
-                getattr(c, "TPU_VAD_TRAILING_IMPL", "conv") or "conv"
+                getattr(c, "TPU_VAD_TRAILING_IMPL", "blocked") or "blocked"
             ).lower(),
         )
 
