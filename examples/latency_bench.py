@@ -17,10 +17,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import threading
 import time
 
 import numpy as np
+
+# allow `python examples/latency_bench.py` from anywhere (script mode puts
+# examples/ first on sys.path, not the repo root)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 class PacedSource:
