@@ -201,6 +201,9 @@ def fused_features(
     When a distinct entropy FFT size is configured (``entropy_bases`` set), the
     entropy spectrum is computed outside the kernel with a second matmul pair.
     """
+    if isinstance(precision, str):
+        # accept the documented config spellings ("highest"/"high"/"default")
+        precision = jax.lax.Precision(precision.lower())
     if precision == jax.lax.Precision.HIGH:
         # Mosaic lowers DEFAULT and HIGHEST dots only; HIGH (bf16x3 passes)
         # has no in-kernel lowering rule and raises NotImplementedError at

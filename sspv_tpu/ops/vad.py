@@ -185,19 +185,31 @@ def _blocked_trailing_sums(ext: jnp.ndarray, f: int, history_len: int) -> jnp.nd
     ``f % history_len == 0`` so ``ext`` reshapes into whole blocks).
 
     The window at frame ``t = q*H + r`` spans a suffix of block ``q`` plus a
-    prefix of block ``q+1``; one vectorized cumsum along the lane axis yields
-    every prefix/suffix at once. ~12 fused VPU ops instead of the H shifted
-    adds a ones-kernel convolution lowers to — the convolution dominated the
-    whole VAD stage on TPU (tools/vad_microbench.py). Float rounding differs
-    from the convolution at the ~1e-7 relative level; decision bit-parity vs
-    the sequential oracle is enforced by the chunking/padding fuzz tests.
+    prefix of block ``q+1``; one vectorized cumsum per direction along the
+    lane axis yields every prefix/suffix at once. ~12 fused VPU ops instead
+    of the H shifted adds a ones-kernel convolution lowers to — the
+    convolution dominated the whole VAD stage on TPU
+    (tools/vad_microbench.py).
+
+    Both cumsums are DIRECT summations. Subtractive forms
+    (``total - prefix`` or ``cumsum(b) - b``) cancel catastrophically when a
+    quiet window follows loud audio inside one block (error scales with the
+    block total, not the window sum — percent-level on realistic
+    loud-speech-then-pause energies), which flips threshold decisions.
+    Direct sums stay at the ~1e-7 relative level of the convolution;
+    decision parity vs the sequential oracle is enforced by the
+    chunking/padding and dynamic-range fuzz tests.
     """
     h = history_len
     nb = f // h
     b = ext.reshape(nb + 1, h)
-    pre = jnp.cumsum(b, axis=1) - b  # exclusive prefix sums P[i, r]
-    tot = pre[:, -1] + b[:, -1]
-    suf = tot[:, None] - pre  # suffix sums S[i, r]
+    # exclusive prefix sums P[i, r] = sum(b[i, :r]): shift right, cumsum
+    shifted = jnp.concatenate(
+        [jnp.zeros((nb + 1, 1), b.dtype), b[:, :-1]], axis=1
+    )
+    pre = jnp.cumsum(shifted, axis=1)
+    # inclusive suffix sums S[i, r] = sum(b[i, r:]): reversed cumsum
+    suf = jnp.cumsum(b[:, ::-1], axis=1)[:, ::-1]
     return (suf[:nb] + pre[1:]).reshape(f)
 
 

@@ -64,6 +64,10 @@ def test_fused_features_high_precision_coerced():
     got = fused_features(raw, precision=jax.lax.Precision.HIGH, **kw)
     for k in hi:
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(hi[k]))
+    # the documented config spellings must take the same path as the enums
+    got_str = fused_features(raw, precision="high", **kw)
+    for k in hi:
+        np.testing.assert_array_equal(np.asarray(got_str[k]), np.asarray(hi[k]))
 
 
 def test_fused_features_small_batch_padding():

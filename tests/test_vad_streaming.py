@@ -131,6 +131,53 @@ def test_blocked_trailing_sums_unit():
         np.testing.assert_allclose(got, want, rtol=2e-6)
 
 
+def test_blocked_trailing_sums_high_dynamic_range():
+    """Loud-audio-then-near-silence inside one block: subtractive suffix/prefix
+    formulations cancel catastrophically here (error scales with the block
+    total, 20%+ observed); the direct-cumsum form must track the exact window
+    sums at float32 summation accuracy even when the window sum is ~1e-10 of
+    the block total."""
+    rng = np.random.default_rng(23)
+    for f, h in [(512, 256), (1024, 128)]:
+        ext = rng.uniform(1e9, 3e9, h + f).astype(np.float32)
+        quiet = slice(h + f // 4, h + 3 * f // 4)
+        ext[quiet] = rng.uniform(0.005, 0.02, ext[quiet].shape).astype(np.float32)
+        got = np.asarray(vad_ops._blocked_trailing_sums(jnp.asarray(ext), f, h))
+        want = np.array(
+            [ext[t : t + h].astype(np.float64).sum() for t in range(f)]
+        )
+        # windows fully inside the quiet span have sums ~h*0.01 — billions of
+        # times below the loud block totals; relative accuracy must hold there
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_streaming_vad_blocked_equals_conv_on_loud_quiet_transitions():
+    """Decision parity between trailing impls on a signal engineered to sit
+    near the adaptive threshold right after a loud passage — the regime where
+    the cancellation defect flipped 56/512 decisions."""
+    rng = np.random.default_rng(29)
+    n = 512
+    energy = np.empty(n, np.float32)
+    energy[:200] = rng.uniform(1e9, 3e9, 200)
+    energy[200:] = rng.uniform(0.005, 0.02, n - 200)
+    zcr = rng.uniform(0.0, 0.5, n).astype(np.float32)
+    entropy = rng.uniform(0.0, 1.0, n).astype(np.float32)
+    kwargs = dict(
+        energy_threshold=1000.0, zcr_threshold=0.3, entropy_voice_max=0.65,
+        use_adaptive=True, adaptive_alpha=0.9,
+    )
+    outs = {}
+    for impl in ("conv", "blocked"):
+        st = vad_ops.initial_vad_state()
+        v, a, _ = vad_ops.streaming_vad(
+            jnp.asarray(energy), jnp.asarray(zcr), jnp.asarray(entropy), st,
+            trailing_impl=impl, **kwargs,
+        )
+        outs[impl] = (np.asarray(v), np.asarray(a))
+    np.testing.assert_array_equal(outs["blocked"][0], outs["conv"][0])
+    np.testing.assert_array_equal(outs["blocked"][1], outs["conv"][1])
+
+
 def test_streaming_vad_blocked_trailing_impl_matches_oracle():
     """trailing_impl="blocked" (two-level block cumsums) must reproduce the
     sequential oracle's decisions exactly, one-shot and chunked, including
