@@ -151,6 +151,42 @@ def test_blocked_trailing_sums_high_dynamic_range():
         np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+def test_padded_tail_blocked_loud_quiet_equals_unpadded():
+    """Bucketed padded-tail processing with the blocked impl on a
+    loud-then-quiet stream must match the unpadded one-shot run exactly
+    (padding zeros next to huge energies is itself a dynamic-range case)."""
+    rng = np.random.default_rng(31)
+    n = 300
+    energy = np.empty(n, np.float32)
+    energy[:150] = rng.uniform(1e9, 3e9, 150)
+    energy[150:] = rng.uniform(0.005, 0.02, n - 150)
+    zcr = rng.uniform(0, 0.5, n).astype(np.float32)
+    entropy = rng.uniform(0, 1, n).astype(np.float32)
+    kwargs = dict(
+        energy_threshold=1000.0, zcr_threshold=0.3, entropy_voice_max=0.65,
+        use_adaptive=True, adaptive_alpha=0.9, trailing_impl="blocked",
+    )
+    state = vad_ops.initial_vad_state()
+    want_v, want_a, _ = vad_ops.streaming_vad(
+        jnp.asarray(energy), jnp.asarray(zcr), jnp.asarray(entropy), state, **kwargs
+    )
+    state = vad_ops.initial_vad_state()
+    got_v, got_a = [], []
+    for lo, hi, bucket in [(0, 137, 256), (137, 300, 256)]:
+        m = hi - lo
+        pad = bucket - m
+        v, a, state = vad_ops.streaming_vad(
+            jnp.asarray(np.pad(energy[lo:hi], (0, pad))),
+            jnp.asarray(np.pad(zcr[lo:hi], (0, pad))),
+            jnp.asarray(np.pad(entropy[lo:hi], (0, pad))),
+            state, valid=jnp.asarray(np.arange(bucket) < m), **kwargs,
+        )
+        got_v.append(np.asarray(v)[:m])
+        got_a.append(np.asarray(a)[:m])
+    np.testing.assert_array_equal(np.concatenate(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.concatenate(got_a), np.asarray(want_a))
+
+
 def test_streaming_vad_blocked_equals_conv_on_loud_quiet_transitions():
     """Decision parity between trailing impls on a signal engineered to sit
     near the adaptive threshold right after a loud passage — the regime where
