@@ -123,7 +123,9 @@ class Config:
     # formulation; "blocked" falls back to it when the block length is not
     # a multiple of VAD_HISTORY_LEN). Measured on TPU: the convolution was
     # ~24 ms of the 55 ms full-hour pipeline; blocked cuts the pipeline to
-    # 18 ms with bit-identical decisions (docs/benchmarks.md).
+    # ~16 ms. Decisions match the sequential oracle exactly on the CPU
+    # suite; cross-implementation agreement on chip is exact except at
+    # sub-float32-resolution threshold ties (docs/benchmarks.md).
     TPU_VAD_TRAILING_IMPL = "blocked"
     # Low-latency streaming: materialize each dispatched block immediately
     # instead of keeping one block in flight (halves result latency at some

@@ -71,8 +71,10 @@ class FeatureConfig(NamedTuple):
     # (two-level block cumsums — default; falls back to conv when the block
     # length is not a multiple of history_len) or "conv" (ones-kernel
     # convolution). On TPU the convolution dominated the whole VAD stage
-    # (~24 ms of the 55 ms full-hour pipeline; blocked: 18 ms total with
-    # bit-identical decisions — docs/benchmarks.md).
+    # (~24 ms of the 55 ms full-hour pipeline; blocked: ~16 ms total).
+    # Oracle-exact on the CPU suite; agreement with the conv form on chip
+    # is exact except at sub-f32-resolution threshold ties
+    # (docs/benchmarks.md).
     vad_trailing_impl: str = "blocked"
 
     @classmethod
