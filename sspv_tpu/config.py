@@ -74,7 +74,16 @@ class Config:
     WAVEFORM_DISPLAY_LENGTH = 4096
 
     # --- buffering ----------------------------------------------------------
-    AUDIO_BUFFER_SIZE = 4  # chunks
+    # AUDIO_BUFFER_SIZE exists for name parity with the reference
+    # (config.py:124), where it sizes a LOSSY 4-chunk capture deque that
+    # silently drops audio whenever the consumer falls behind
+    # (rtvp/engine.py:90). This rebuild deliberately diverges: the engine
+    # bounds the capture backlog with LOSSLESS blocking backpressure sized in
+    # seconds (``TPU_MAX_PENDING_SECONDS`` below), so no samples are ever
+    # dropped on file/playlist input. Consequently this knob — and its
+    # ``RTP_AUDIO_BUFFER_SIZE`` env override — is accepted but INERT.
+    # Rationale and measurement: docs/architecture.md ("Backpressure").
+    AUDIO_BUFFER_SIZE = 4  # chunks (inert; see note above)
     PROCESSED_DATA_BUFFER_SIZE = 100  # frames
 
     # --- threading ----------------------------------------------------------
@@ -144,7 +153,13 @@ class Config:
 
     @staticmethod
     def print_config() -> None:
-        """Log the key configuration values (reference: config.py:150-185)."""
+        """Log the full configuration (reference: config.py:150-185).
+
+        The reference's dump stops after the adaptive-VAD line; this one
+        continues through the composite-VAD gating, visualization, buffering,
+        threading, persistence, and logging sections — a strict superset, so
+        every reference-printed field appears with the same formatting.
+        """
         logging.info("%s", "=" * 50)
         logging.info("Real-time speech signal processing (TPU) - configuration")
         logging.info("%s", "=" * 50)
@@ -176,45 +191,80 @@ class Config:
             Config.ADAPTIVE_VAD_ENERGY_K,
             Config.ADAPTIVE_VAD_ZCR_K,
         )
+        logging.info(
+            "composite VAD: use_adaptive=%s, entropy_voice_max=%.2f, "
+            "hangover_on=%d, release_off=%d",
+            Config.USE_ADAPTIVE_VAD,
+            Config.SPECTRAL_ENTROPY_VOICE_MAX,
+            Config.VAD_HANGOVER_ON,
+            Config.VAD_RELEASE_OFF,
+        )
+        logging.info(
+            "visualization: update=%dms, max_display_frames=%d, waveform_len=%d",
+            Config.PLOT_UPDATE_INTERVAL,
+            Config.MAX_DISPLAY_FRAMES,
+            Config.WAVEFORM_DISPLAY_LENGTH,
+        )
+        logging.info(
+            "buffering: audio_buffer=%d chunks (inert; lossless backpressure "
+            "%.1fs), processed_buffer=%d frames",
+            Config.AUDIO_BUFFER_SIZE,
+            Config.TPU_MAX_PENDING_SECONDS,
+            Config.PROCESSED_DATA_BUFFER_SIZE,
+        )
+        logging.info("thread sleep: %.4fs", Config.THREAD_SLEEP_TIME)
+        logging.info("save directory: %s", Config.SAVE_DIRECTORY)
+        logging.info("log level: %s", Config.LOG_LEVEL)
+
+    # Names of the data attributes eligible for env/YAML override: every
+    # ALL-CAPS class attribute. Computed fresh each call so attributes added
+    # at runtime (tests monkeypatching Config) participate too.
+    @staticmethod
+    def _overridable() -> list[str]:
+        return [k for k in vars(Config) if k.isupper()]
+
+    @staticmethod
+    def _coerce(raw: str, template: object) -> object:
+        """Parse ``raw`` to the type of ``template`` (the attribute's current
+        value). Bools accept 1/true/yes/on; strings pass through unchanged;
+        raises on unparseable numerics so callers can keep the default."""
+        if isinstance(template, bool):
+            return raw.strip().lower() in {"1", "true", "yes", "on"}
+        if isinstance(template, int):
+            return int(raw)
+        if isinstance(template, float):
+            return float(raw)
+        return raw
 
     @staticmethod
     def load_from_env(prefix: str = "RTP_") -> None:
-        """Override attributes from environment variables.
+        """Override attributes from ``<prefix><NAME>`` environment variables
+        (e.g. ``RTP_SAMPLE_RATE``), type-cast against each attribute's current
+        value; a failed cast logs and keeps the default (reference behavior,
+        config.py:187-216).
 
-        Naming convention: ``<prefix><UPPER_NAME>`` (e.g. ``RTP_SAMPLE_RATE``).
-        Values are cast against the current attribute's type; bools accept
-        1/true/yes/on (reference: config.py:187-216).
+        Iterates the *attribute* surface rather than the environment, so only
+        ALL-CAPS data attributes are overridable — an env var aimed at a
+        method name (e.g. ``RTP_print_config``) can never clobber it (a
+        latent hazard of the reference's environ-driven loop).
         """
-        for name, value in os.environ.items():
-            if not name.startswith(prefix):
+        for key in Config._overridable():
+            raw = os.environ.get(prefix + key)
+            if raw is None:
                 continue
-            key = name[len(prefix):]
-            if not hasattr(Config, key):
-                continue
-            current = getattr(Config, key)
             try:
-                casted: object
-                if isinstance(current, bool):
-                    casted = value.lower() in {"1", "true", "yes", "on"}
-                elif isinstance(current, int):
-                    casted = int(value)
-                elif isinstance(current, float):
-                    casted = float(value)
-                else:
-                    casted = value
-                setattr(Config, key, casted)
-            except Exception:
+                setattr(Config, key, Config._coerce(raw, getattr(Config, key)))
+            except (ValueError, TypeError):
                 logging.warning(
-                    "env var %s=%s failed to cast; keeping default", name, value
+                    "env var %s%s=%s failed to cast; keeping default",
+                    prefix, key, raw,
                 )
 
     @staticmethod
     def load_from_yaml(path: str) -> bool:
-        """Override attributes from a YAML mapping file.
-
-        Returns True on success (reference: config.py:218-252). Requires
-        ``pyyaml``; logs and returns False when it is unavailable.
-        """
+        """Override attributes from a YAML mapping file; unknown keys are
+        ignored. Returns True only when a mapping was loaded and applied
+        (reference: config.py:218-252). Needs ``pyyaml``."""
         try:
             import yaml  # type: ignore
         except Exception:  # pragma: no cover
@@ -223,18 +273,20 @@ class Config:
 
         try:
             with open(path, "r", encoding="utf-8") as f:
-                data = yaml.safe_load(f) or {}
-            if not isinstance(data, dict):
-                logging.warning("YAML config must be a mapping; ignoring: %s", path)
-                return False
-            for key, value in data.items():
-                if hasattr(Config, key):
-                    setattr(Config, key, value)
-            logging.info("loaded config from YAML: %s", path)
-            return True
+                data = yaml.safe_load(f)
         except Exception as e:
             logging.error("failed to load YAML config: %s (%s)", path, e)
             return False
+        if data is None:
+            data = {}
+        if not isinstance(data, dict):
+            logging.warning("YAML config must be a mapping; ignoring: %s", path)
+            return False
+        known = set(Config._overridable())
+        for key in known.intersection(data):
+            setattr(Config, key, data[key])
+        logging.info("loaded config from YAML: %s", path)
+        return True
 
 
 if __name__ == "__main__":

@@ -159,9 +159,14 @@ class FeaturePipeline:
             "default": jax.lax.Precision.DEFAULT,
         }.get(c.precision, jax.lax.Precision.HIGHEST)
         self._use_pallas = bool(c.use_pallas) and _pallas_available()
+        # Every jitted callable is created here (never lazily on first call):
+        # the compiled-function inventory stays auditable in one place and a
+        # first call racing from two threads can't jit the same impl twice.
         self._features_jit = jax.jit(self._features)
         self._block_jit = jax.jit(self._process_block_impl)
         self._signal_jit = jax.jit(self._process_signal_impl)
+        self._block_packed_jit = jax.jit(self._process_block_packed_impl)
+        self._signal_masked_jit = jax.jit(self._process_signal_masked_impl)
 
     # -- core feature computation (traced) ---------------------------------
 
@@ -307,8 +312,6 @@ class FeaturePipeline:
         Returns ``(packed_block, new_packed_state)``; split the block with
         :meth:`split_packed_block`.
         """
-        if not hasattr(self, "_block_packed_jit"):
-            self._block_packed_jit = jax.jit(self._process_block_packed_impl)
         return self._block_packed_jit(
             jnp.asarray(frames_raw, dtype=jnp.float32),
             packed_state,
@@ -584,8 +587,6 @@ class FeaturePipeline:
             return self.process_signal_device(sig, state)
         if target > len(sig):
             sig = np.pad(sig, (0, target - len(sig)))
-        if not hasattr(self, "_signal_masked_jit"):
-            self._signal_masked_jit = jax.jit(self._process_signal_masked_impl)
         block, new_state = self._signal_masked_jit(
             jnp.asarray(sig), state, jnp.int32(true_n)
         )

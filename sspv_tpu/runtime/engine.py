@@ -178,11 +178,15 @@ class AudioRuntime:
             self.energy_history.clear()
             self.zcr_history.clear()
             self.audio_display_buffer.clear()
-        # reset history, keep hangover distance: copy the last_voiced slot's
-        # raw bits (an int32 bitcast into the f32 packed state) into a fresh
-        # zero-history state — a byte copy, so the value is preserved exactly
+        # reset history, keep hangover distance: the last_voiced slot is an
+        # int32 bitcast into the f32 packed state, so the copy must move raw
+        # bits — an int32-view assignment, never a float assignment (some
+        # last_voiced values alias signaling-NaN f32 patterns that a
+        # float-typed copy could canonicalize, shifting the value by ~4.2M)
         fresh = self.pipeline.initial_packed_state()
-        fresh[-1] = np.asarray(self._vad_state_packed)[-1]
+        fresh.view(np.int32)[-1] = (
+            np.asarray(self._vad_state_packed).view(np.int32)[-1]
+        )
         self._vad_state_packed = fresh
 
     # ------------------------------------------------------------------
@@ -404,18 +408,28 @@ class AudioRuntime:
         return np.array(energies), np.array(zcrs), np.array(vads)
 
     def save_data(self, directory=None) -> str:
-        """Write the 8-key ``.npz`` export; returns the file path."""
+        """Write the 8-key ``.npz`` export; returns the file path.
+
+        All five per-frame series are extracted from ONE snapshot of
+        ``processed_data`` taken under a single lock acquisition, so the
+        exported arrays are always aligned even while streaming is live.
+        This deliberately diverges from the reference, whose export reads
+        the deque twice under separate lock acquisitions
+        (rtvp/engine.py:377-384) — a block materialized between the two reads
+        misaligns the energy/zcr/vad arrays against entropy/adaptive there.
+        """
         if directory is None:
             directory = Config.SAVE_DIRECTORY
         timestamp = time.strftime("%Y%m%d_%H%M%S")
         filename = f"{directory}/voice_processing_data_{timestamp}.npz"
         limit = Config.PROCESSED_DATA_BUFFER_SIZE
-        energies, zcrs, vads = self.get_recent_processed(max_display=limit)
         with self.lock:
-            spec_entropies = [d.get("spec_entropy", np.nan) for d in self.processed_data]
-            vads_adaptive = [d.get("vad_adaptive", np.nan) for d in self.processed_data]
-        spec_entropies = spec_entropies[-limit:]
-        vads_adaptive = vads_adaptive[-limit:]
+            snapshot = list(self.processed_data)[-limit:]
+        energies = [d["energy"] for d in snapshot]
+        zcrs = [d["zcr"] for d in snapshot]
+        vads = [d["vad"] for d in snapshot]
+        spec_entropies = [d.get("spec_entropy", np.nan) for d in snapshot]
+        vads_adaptive = [d.get("vad_adaptive", np.nan) for d in snapshot]
         np.savez(
             filename,
             energies=np.asarray(energies, dtype=np.float64),

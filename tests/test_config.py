@@ -73,6 +73,70 @@ def test_setup_logging_and_print_config(caplog):
     assert any("16000" in r.message or "8000" in r.message for r in caplog.records)
 
 
+def test_print_config_covers_all_sections(caplog):
+    """The dump must include every field the reference's print_config prints
+    (rtvp/config.py:151-186) AND the extended sections (composite-VAD gating,
+    visualization, buffering, threading, persistence, logging) this rebuild
+    adds as a strict superset."""
+    import logging
+
+    Config.setup_logging()
+    with caplog.at_level(logging.INFO):
+        Config.print_config()
+    dump = "\n".join(r.getMessage() for r in caplog.records)
+
+    # reference-printed fields, as (label fragment, formatted value) pairs
+    expected = [
+        ("audio format", str(Config.AUDIO_FORMAT)),
+        ("channels", str(Config.CHANNELS)),
+        ("sample rate", f"{Config.SAMPLE_RATE} Hz"),
+        ("chunk size", str(Config.CHUNK_SIZE)),
+        ("frame:", f"{Config.FRAME_SIZE} samples"),
+        ("hop:", f"{Config.HOP_SIZE} samples"),
+        ("window", Config.WINDOW_TYPE),
+        ("pre-emphasis", f"{Config.PREEMPHASIS_ALPHA:.2f}"),
+        ("MFCC", f"num={Config.NUM_MFCC}"),
+        ("MFCC", f"n_fft={Config.MFCC_N_FFT}"),
+        ("MFCC", f"mel_filters={Config.MEL_FILTERS}"),
+        ("MFCC", f"lifter={Config.MFCC_LIFTER}"),
+        ("spectral entropy n_fft", str(Config.SPECTRAL_ENTROPY_N_FFT)),
+        ("energy threshold", f"{Config.ENERGY_THRESHOLD:.2f}"),
+        ("zcr threshold", f"{Config.ZCR_THRESHOLD:.3f}"),
+        ("adaptive VAD", f"history_min={Config.ADAPTIVE_VAD_HISTORY_MIN}"),
+        ("adaptive VAD", f"energy_k={Config.ADAPTIVE_VAD_ENERGY_K:.2f}"),
+        ("adaptive VAD", f"zcr_k={Config.ADAPTIVE_VAD_ZCR_K:.2f}"),
+        # extended sections (superset of the reference dump)
+        ("composite VAD", f"use_adaptive={Config.USE_ADAPTIVE_VAD}"),
+        ("composite VAD", f"entropy_voice_max={Config.SPECTRAL_ENTROPY_VOICE_MAX:.2f}"),
+        ("composite VAD", f"hangover_on={Config.VAD_HANGOVER_ON}"),
+        ("composite VAD", f"release_off={Config.VAD_RELEASE_OFF}"),
+        ("visualization", f"update={Config.PLOT_UPDATE_INTERVAL}ms"),
+        ("visualization", f"max_display_frames={Config.MAX_DISPLAY_FRAMES}"),
+        ("visualization", f"waveform_len={Config.WAVEFORM_DISPLAY_LENGTH}"),
+        ("buffering", f"audio_buffer={Config.AUDIO_BUFFER_SIZE} chunks"),
+        ("buffering", f"processed_buffer={Config.PROCESSED_DATA_BUFFER_SIZE} frames"),
+        ("thread sleep", f"{Config.THREAD_SLEEP_TIME:.4f}s"),
+        ("save directory", str(Config.SAVE_DIRECTORY)),
+        ("log level", str(Config.LOG_LEVEL)),
+    ]
+    for label, value in expected:
+        line = next((ln for ln in dump.splitlines() if label in ln), None)
+        assert line is not None, f"print_config missing section: {label}"
+        assert value in line, f"{label!r} line missing value {value!r}: {line!r}"
+
+
+def test_env_cannot_clobber_methods(monkeypatch):
+    """The env loader iterates ALL-CAPS data attributes, so an env var aimed
+    at a method name must be ignored (the reference's environ-driven loop
+    would setattr over the method)."""
+    monkeypatch.setenv("RTP_print_config", "payload")
+    monkeypatch.setenv("RTP_load_from_yaml", "payload")
+    Config.load_from_env("RTP_")
+    assert callable(Config.print_config)
+    assert callable(Config.load_from_yaml)
+    Config.print_config()  # still invocable
+
+
 def test_matmul_precision_knob():
     """TPU_MATMUL_PRECISION maps through FeatureConfig to a lax.Precision."""
     import jax

@@ -136,6 +136,46 @@ def test_npz_export_schema(tmp_path):
                    ["zcrs", "vads", "spec_entropy", "vads_adaptive"])
 
 
+def test_save_data_concurrent_with_streaming(tmp_path):
+    """Exports taken WHILE blocks are landing must always be internally
+    aligned: all five per-frame series come from one snapshot under one lock
+    acquisition (deliberate fix of the reference's two-lock export race,
+    rtvp/engine.py:377-384, where a block materializing between the two reads
+    misaligns energies/zcrs/vads vs spec_entropy/vads_adaptive)."""
+    from sspv_tpu.utils.npz_io import load_session, validate_session
+
+    # a long stream -> many streaming blocks; save as fast as possible the
+    # whole time so exports interleave with block materialization
+    src = DummyAudioSource(duration_sec=20.0)
+    rt = AudioRuntime(audio_source=src)
+    rt.auto_stop_on_eof = True
+    rt.start()
+    paths = []
+    t0 = time.time()
+    try:
+        # EOF flips is_running almost immediately (in-memory source), but the
+        # processing thread keeps draining blocks — save against THAT window
+        while (
+            rt._process_thread is not None
+            and rt._process_thread.is_alive()
+            and time.time() - t0 < 120.0
+        ):
+            if len(rt.processed_data):
+                paths.append(rt.save_data(str(tmp_path)))
+    finally:
+        rt.stop()
+    assert rt.last_error is None, rt.last_error
+    paths.append(rt.save_data(str(tmp_path)))  # final post-stop export
+
+    assert len(paths) >= 2
+    saw_growth = set()
+    for p in set(paths):
+        s = load_session(p)
+        assert validate_session(s) == [], (p, validate_session(s))
+        saw_growth.add(s.num_frames)
+    assert max(saw_growth) > 0
+
+
 def test_set_audio_source_resets_buffers():
     rt = AudioRuntime(audio_source=DummyAudioSource(duration_sec=0.3))
     rt.auto_stop_on_eof = True

@@ -36,6 +36,8 @@ def test_auto_matches_exact_across_lengths():
 def test_auto_bucket_reuse():
     """Two different lengths inside one bucket must reuse the same padded
     shape (and therefore the same compiled program)."""
+    import jax
+
     pipe = FeaturePipeline(FeatureConfig())
     seen_shapes = []
     orig = pipe._process_signal_masked_impl
@@ -44,7 +46,9 @@ def test_auto_bucket_reuse():
         seen_shapes.append(padded.shape[0])
         return orig(padded, state, true_n)
 
-    pipe._process_signal_masked_impl = spy
+    # the jitted callable is created in __init__; re-wrap it around the spy
+    # (the spy body runs only at trace time, so entries == compiles)
+    pipe._signal_masked_jit = jax.jit(spy)
     rng = np.random.default_rng(22)
     pipe.process_signal_auto(rng.normal(0, 100, 17000).astype(np.float32))
     pipe.process_signal_auto(rng.normal(0, 100, 30000).astype(np.float32))
