@@ -52,6 +52,14 @@ __all__ = [
 
 _NEG_LARGE = jnp.int32(-(2**30))
 
+# Trace-evidence counter: bumped at TRACE time whenever the blocked
+# two-level-cumsum trailing-sum implementation is actually selected (i.e.
+# ``f % history_len == 0`` and impl == "blocked"). Tests and the driver
+# dryrun read this to prove the production-default path — not the conv
+# fallback — was compiled into a given program; cached jit calls don't
+# retrace, so assert on a delta across a *fresh* pipeline/jit, not absolutes.
+BLOCKED_TRACE_COUNT = 0
+
 
 def voice_activity_detection(
     energy: jnp.ndarray,
@@ -200,6 +208,8 @@ def _blocked_trailing_sums(ext: jnp.ndarray, f: int, history_len: int) -> jnp.nd
     decision parity vs the sequential oracle is enforced by the
     chunking/padding and dynamic-range fuzz tests.
     """
+    global BLOCKED_TRACE_COUNT
+    BLOCKED_TRACE_COUNT += 1
     h = history_len
     nb = f // h
     b = ext.reshape(*ext.shape[:-1], nb + 1, h)

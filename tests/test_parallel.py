@@ -120,6 +120,146 @@ def test_streaming_padded_tail_under_mesh():
     assert int(state.last_voiced) == int(want_state.last_voiced)
 
 
+def test_blocked_trailing_scan_blocks_under_mesh():
+    """The production-default 'blocked' trailing-sum VAD (two-level block
+    cumsums, ops/vad.py:_blocked_trailing_sums) under the ("data","seq")
+    mesh through the lax.scan-over-blocks machinery: SCAN_BLOCK_FRAMES=256
+    == history_len, so every scan step takes the blocked branch (NOT the
+    conv fallback — asserted via the trace counter). Results must bit-match
+    the single-device pipeline, whose one 1024-frame block also runs blocked
+    (1024 % 256 == 0) with identically-aligned 256-lane cumsums."""
+    from sspv_tpu.ops import vad as vad_ops
+
+    rng = np.random.default_rng(11)
+    # 1024 frames exactly: length = (1024-1)*160 + 320
+    n_frames = 1024
+    length = (n_frames - 1) * 160 + 320
+    t = np.arange(length) / 16000.0
+    seg = (t * 2).astype(int) % 4
+    sig = rng.normal(0, 40, length)
+    sig = np.where(seg == 1, 8000 * np.sin(2 * np.pi * 170 * t), sig)
+    sig = np.where(seg == 2, rng.normal(0, 2200, length), sig)
+    sig = sig.astype(np.float32)
+
+    mesh = make_mesh(8)
+    bp = BatchPipeline(mesh)
+    assert bp.pipe.cfg.vad_trailing_impl == "blocked"
+    bp.pipe.SCAN_BLOCK_FRAMES = 256  # == history_len: every step blocked
+    before = vad_ops.BLOCKED_TRACE_COUNT
+    block, state = bp.process_long(sig)
+    assert vad_ops.BLOCKED_TRACE_COUNT > before, (
+        "sharded scan compiled the conv fallback, not the blocked impl"
+    )
+    assert np.asarray(block.energy).shape == (n_frames,)
+
+    pipe = FeaturePipeline(FeatureConfig())
+    before = vad_ops.BLOCKED_TRACE_COUNT
+    want, want_state = pipe.process_signal_device(sig)
+    assert vad_ops.BLOCKED_TRACE_COUNT > before
+
+    np.testing.assert_allclose(
+        np.asarray(block.energy), np.asarray(want.energy), rtol=2e-6
+    )
+    np.testing.assert_array_equal(np.asarray(block.vad), np.asarray(want.vad))
+    np.testing.assert_array_equal(
+        np.asarray(block.vad_adaptive), np.asarray(want.vad_adaptive)
+    )
+    assert int(state.count) == int(want_state.count)
+    assert int(state.last_voiced) == int(want_state.last_voiced)
+    np.testing.assert_array_equal(
+        np.asarray(state.energy_buf), np.asarray(want_state.energy_buf)
+    )
+
+
+def test_blocked_trailing_bucket256_streaming_under_mesh():
+    """A production streaming bucket (256 — a TPU_STREAM_BUCKETS member and a
+    history_len multiple, so the engine's default dispatch runs the blocked
+    impl) sharded over all 8 devices, with a masked padded tail: bit-equal to
+    the identical bucketed computation on a single device, and the padded
+    frames must not leak into the carried state."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sspv_tpu.ops import vad as vad_ops
+
+    rng = np.random.default_rng(13)
+    pipe = FeaturePipeline(FeatureConfig())
+    sig = rng.normal(0, 4000, (16000 * 2,)).astype(np.float32)
+    frames = pipe.stream_frames(sig)  # (199, 320)
+    n = frames.shape[0]
+    bucket = 256
+    padded = np.pad(frames, ((0, bucket - n), (0, 0)))
+    valid = np.arange(bucket) < n
+
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P(("data", "seq"), None))
+    vh = NamedSharding(mesh, P(("data", "seq")))
+    before = vad_ops.BLOCKED_TRACE_COUNT
+    jitted = jax.jit(pipe._process_block_impl, in_shardings=(sh, None, vh))
+    block, state = jitted(
+        jax.device_put(padded, sh), pipe.initial_state(), jax.device_put(valid, vh)
+    )
+    jax.block_until_ready(block)
+    assert vad_ops.BLOCKED_TRACE_COUNT > before, "mesh program used conv fallback"
+
+    # single-device comparator: the SAME bucketed shape (also blocked)
+    want, want_state = pipe.process_block(
+        padded, pipe.initial_state(), valid=jax.numpy.asarray(valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(block.energy), np.asarray(want.energy)
+    )
+    np.testing.assert_array_equal(np.asarray(block.vad), np.asarray(want.vad))
+    np.testing.assert_array_equal(
+        np.asarray(block.vad_adaptive), np.asarray(want.vad_adaptive)
+    )
+    assert int(state.count) == int(want_state.count) == n
+    assert int(state.last_voiced) == int(want_state.last_voiced)
+
+
+def test_long_signal_real_scan_block_size_under_mesh():
+    """process_long at the REAL production SCAN_BLOCK_FRAMES (32768): two
+    full scan blocks (65536 frames, ~10.9 min of audio), every step on the
+    blocked trailing-sum branch, sharded over the whole mesh — bit-equal VAD
+    vs the identical single-device scan. This is the exact program shape the
+    flagship offline path compiles in production."""
+    from sspv_tpu.ops import vad as vad_ops
+
+    rng = np.random.default_rng(17)
+    pipe_probe = FeaturePipeline(FeatureConfig())
+    b = pipe_probe.SCAN_BLOCK_FRAMES
+    assert b == 32768  # production value; test intentionally NOT shrunk
+    n_frames = 2 * b
+    length = (n_frames - 1) * 160 + 320
+    # piecewise segments keep synth cost low but still exercise voiced /
+    # unvoiced / silence transitions across scan-block boundaries
+    sig = rng.normal(0, 50, length).astype(np.float32)
+    sig[length // 3 : length // 2] = (
+        7000 * np.sin(2 * np.pi * 150 * np.arange(length // 2 - length // 3) / 16000)
+    ).astype(np.float32)
+    sig[length // 2 : 2 * length // 3] = rng.normal(
+        0, 2400, 2 * length // 3 - length // 2
+    ).astype(np.float32)
+
+    mesh = make_mesh(8)
+    bp = BatchPipeline(mesh)
+    before = vad_ops.BLOCKED_TRACE_COUNT
+    block, state = bp.process_long(sig)
+    assert vad_ops.BLOCKED_TRACE_COUNT > before
+    assert np.asarray(block.energy).shape == (n_frames,)
+
+    want, want_state = pipe_probe.process_signal_device(sig)
+    np.testing.assert_allclose(
+        np.asarray(block.energy), np.asarray(want.energy), rtol=2e-6
+    )
+    np.testing.assert_array_equal(np.asarray(block.vad), np.asarray(want.vad))
+    np.testing.assert_array_equal(
+        np.asarray(block.vad_adaptive), np.asarray(want.vad_adaptive)
+    )
+    assert int(state.count) == int(want_state.count)
+    assert int(state.last_voiced) == int(want_state.last_voiced)
+
+
 def test_batch_masked_unequal_lengths():
     """dp batch of unequal-length signals via zero-padding + per-signal
     masked frame counts: each row must match processing its true-length
