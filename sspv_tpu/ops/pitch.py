@@ -23,19 +23,23 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .time_features import calculate_short_time_autocorrelation
+from .time_features import (
+    autocorrelation_via_dft,
+    calculate_short_time_autocorrelation,
+)
 
-__all__ = ["pitch_from_frames", "pitch_track"]
+__all__ = ["pitch_from_frames", "pitch_track", "pitch_track_signal"]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sample_rate", "fmin", "fmax")
+    jax.jit, static_argnames=("sample_rate", "fmin", "fmax", "acf_impl")
 )
 def pitch_from_frames(
     frames: jnp.ndarray,
     sample_rate: int = 16000,
     fmin: float = 50.0,
     fmax: float = 400.0,
+    acf_impl: str = "direct",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-frame pitch estimate from the autocorrelation peak.
 
@@ -44,6 +48,10 @@ def pitch_from_frames(
     frames : (num_frames, frame_size) float32 (windowed or raw)
     sample_rate : audio sample rate in Hz
     fmin, fmax : F0 search band in Hz
+    acf_impl : "direct" (unrolled sliding sums — reference semantics,
+        time_features.py:52-76) or "dft" (Wiener-Khinchin matmul form —
+        same values to ~1e-6 relative, ~max_lag-fold less HBM traffic on
+        TPU; the large-scale ``pitch_track_signal`` path defaults to it)
 
     Returns
     -------
@@ -56,7 +64,12 @@ def pitch_from_frames(
     frame_size = x.shape[-1]
     lag_min = max(1, int(sample_rate / fmax))
     lag_max = min(frame_size - 1, int(sample_rate / fmin))
-    acf = calculate_short_time_autocorrelation(x, lag_max)  # (F, lag_max+1)
+    acf_fn = (
+        autocorrelation_via_dft
+        if acf_impl == "dft"
+        else calculate_short_time_autocorrelation
+    )
+    acf = acf_fn(x, lag_max)  # (F, lag_max+1)
     r0 = jnp.maximum(acf[:, 0], jnp.float32(1e-10))
     band = acf[:, lag_min : lag_max + 1] / r0[:, None]
     best = jnp.argmax(band, axis=1)
@@ -73,9 +86,62 @@ def pitch_track(
     fmin: float = 50.0,
     fmax: float = 400.0,
     min_confidence: float = 0.3,
+    acf_impl: str = "direct",
 ):
     """VAD-gated pitch track: F0 per frame, 0 where unvoiced or where the ACF
     peak is weaker than ``min_confidence``."""
-    f0, conf = pitch_from_frames(frames, sample_rate, fmin, fmax)
+    f0, conf = pitch_from_frames(frames, sample_rate, fmin, fmax, acf_impl)
     gate = (jnp.asarray(vad) > 0) & (conf >= jnp.float32(min_confidence))
     return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "frame_size", "hop_size", "sample_rate", "fmin", "fmax",
+        "min_confidence", "acf_impl",
+    ),
+)
+def pitch_track_signal(
+    signal: jnp.ndarray,
+    vad: jnp.ndarray,
+    frame_size: int = 320,
+    hop_size: int = 160,
+    sample_rate: int = 16000,
+    fmin: float = 50.0,
+    fmax: float = 400.0,
+    min_confidence: float = 0.3,
+    acf_impl: str = "dft",
+):
+    """VAD-gated pitch track over a whole 1-D signal, entirely on device:
+    streaming-style framing (full frames only, engine.py:240-242 semantics)
+    + banded-ACF peak picking in one compiled program. ``vad`` is the
+    per-frame gate from the main pipeline (``FeatureBlock.vad``).
+
+    This is the scale path (BASELINE.json configs[2]: "autocorrelation
+    pitch-period detection on VAD-gated voiced segments"), so the ACF
+    defaults to the MXU matmul form.
+    """
+    x = jnp.asarray(signal, dtype=jnp.float32)
+    length = int(x.shape[0])
+    if length < frame_size:
+        z = jnp.zeros((0,), jnp.float32)
+        return z, z
+    n = 1 + (length - frame_size) // hop_size
+    if frame_size % hop_size == 0:
+        # strided-reshape framing (no index-matrix gather): frame i is rows
+        # i..i+k-1 of the (hops, hop_size) view
+        k = frame_size // hop_size
+        rows = x[: (n - 1 + k) * hop_size].reshape(n - 1 + k, hop_size)
+        frames = jnp.concatenate([rows[i : i + n] for i in range(k)], axis=1)
+    else:
+        import numpy as np
+
+        idx = (
+            np.arange(frame_size)[None, :]
+            + np.arange(n)[:, None] * hop_size
+        ).astype(np.int32)
+        frames = x[jnp.asarray(idx)]
+    return pitch_track(
+        frames, vad, sample_rate, fmin, fmax, min_confidence, acf_impl
+    )

@@ -27,6 +27,7 @@ __all__ = [
     "calculate_short_time_energy",
     "calculate_zero_crossing_rate",
     "calculate_short_time_autocorrelation",
+    "autocorrelation_via_dft",
     "calculate_average_magnitude_difference",
 ]
 
@@ -64,6 +65,67 @@ def calculate_short_time_autocorrelation(
         b = x[:, lag:]
         cols.append(jnp.sum(a * b, axis=1))
     return jnp.stack(cols, axis=1).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _acf_dft_bases(frame_size: int, max_lag: int):
+    """Host-precomputed real-DFT and inverse-cosine bases for the
+    Wiener-Khinchin ACF (float64 build, rounded once to float32).
+
+    ``nfft >= frame_size + max_lag`` makes the circular correlation equal the
+    linear one for lags 0..max_lag (no wrap-around), rounded up to a multiple
+    of 128 so every matmul operand tiles the MXU lanes cleanly.
+    """
+    import numpy as np
+
+    nfft = frame_size + max_lag
+    nfft = -(-nfft // 128) * 128
+    k = nfft // 2 + 1
+    n = np.arange(frame_size, dtype=np.float64)[:, None]
+    ks = np.arange(k, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * ks / nfft
+    cos_b = np.cos(ang).astype(np.float32)  # (frame_size, k)
+    sin_b = np.sin(ang).astype(np.float32)
+    # inverse: R[lag] = (1/nfft) * sum_k w_k |X_k|^2 cos(2*pi*k*lag/nfft),
+    # w_k = 2 except the DC and (even-nfft) Nyquist bins
+    lags = np.arange(max_lag + 1, dtype=np.float64)[None, :]
+    w = np.full((k, 1), 2.0)
+    w[0, 0] = 1.0
+    if nfft % 2 == 0:
+        w[-1, 0] = 1.0
+    inv = (
+        w * np.cos(2.0 * np.pi * np.arange(k, dtype=np.float64)[:, None] * lags / nfft)
+        / nfft
+    ).astype(np.float32)  # (k, max_lag+1)
+    return cos_b, sin_b, inv
+
+
+@functools.partial(jax.jit, static_argnames=("max_lag",))
+def autocorrelation_via_dft(frames: jnp.ndarray, max_lag: int) -> jnp.ndarray:
+    """Short-time autocorrelation 0..max_lag via Wiener-Khinchin as three
+    MXU matmuls: power spectrum from a real-DFT matmul pair, then an
+    inverse-cosine matmul back to the lag domain.
+
+    Same contract as :func:`calculate_short_time_autocorrelation`; values
+    agree at the ~1e-6 relative level (float32 matmuls at HIGHEST precision
+    vs the direct sliding sums — tests pin the NMSE). Preferable on TPU for
+    large lag counts: the unrolled direct form re-reads the frame block once
+    per lag (~max_lag x the HBM traffic), while this form moves each operand
+    once and puts the arithmetic on the MXU.
+    """
+    x = jnp.asarray(frames, dtype=jnp.float32)
+    num_frames = x.shape[0] if x.ndim == 2 else 0
+    if num_frames == 0 or x.size == 0 or max_lag < 0:
+        return jnp.zeros((num_frames, max(0, max_lag + 1)), dtype=jnp.float32)
+    cos_b, sin_b, inv = _acf_dft_bases(int(x.shape[-1]), int(max_lag))
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(x, jnp.asarray(cos_b), precision=hp,
+                    preferred_element_type=jnp.float32)
+    im = jnp.matmul(x, jnp.asarray(sin_b), precision=hp,
+                    preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    return jnp.matmul(power, jnp.asarray(inv), precision=hp,
+                      preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("max_lag",))

@@ -27,6 +27,56 @@ def test_pitch_recovers_tone_frequency():
         assert np.all(np.asarray(conf) >= 0.45)
 
 
+def test_acf_dft_matches_direct():
+    """The Wiener-Khinchin matmul ACF must agree with the unrolled direct
+    sums (reference semantics) to float32-matmul accuracy on realistic
+    amplitudes, across lag counts including non-multiple-of-128 paddings."""
+    from sspv_tpu.ops.time_features import (
+        autocorrelation_via_dft,
+        calculate_short_time_autocorrelation,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = rng.normal(0, 3000, (64, 320)).astype(np.float32)
+    for max_lag in (319, 200, 32):
+        direct = np.asarray(calculate_short_time_autocorrelation(frames, max_lag))
+        dft = np.asarray(autocorrelation_via_dft(frames, max_lag))
+        assert dft.shape == direct.shape == (64, max_lag + 1)
+        nmse = np.mean((dft - direct) ** 2) / np.mean(direct**2)
+        assert nmse < 1e-9, (max_lag, nmse)
+
+
+def test_acf_dft_degenerate_shapes():
+    from sspv_tpu.ops.time_features import autocorrelation_via_dft
+
+    assert np.asarray(
+        autocorrelation_via_dft(np.zeros((0, 320), np.float32), 10)
+    ).shape == (0, 11)
+
+
+def test_pitch_dft_impl_same_track():
+    """Both ACF impls must pick the same F0 on clean tones, and the full
+    signal-level jitted path must agree with the frames-level path."""
+    from sspv_tpu.ops.pitch import pitch_track_signal
+
+    for freq in (100.0, 220.0, 330.0):
+        frames = tone_frames(freq)
+        f0_d, _ = pitch_from_frames(frames, 16000, acf_impl="direct")
+        f0_f, _ = pitch_from_frames(frames, 16000, acf_impl="dft")
+        np.testing.assert_allclose(np.asarray(f0_d), np.asarray(f0_f))
+
+    n_frames = 50
+    sig = np.sin(
+        2 * np.pi * 180.0 * np.arange(n_frames * 160 + 160) / 16000
+    ).astype(np.float32)
+    vad = np.ones(n_frames, np.int32)
+    idx = np.arange(320)[None, :] + 160 * np.arange(n_frames)[:, None]
+    f0_sig, conf_sig = pitch_track_signal(sig, vad)
+    f0_frames, conf_frames = pitch_track(sig[idx], vad, 16000, acf_impl="dft")
+    np.testing.assert_allclose(np.asarray(f0_sig), np.asarray(f0_frames))
+    np.testing.assert_allclose(np.asarray(conf_sig), np.asarray(conf_frames))
+
+
 def test_pitch_vad_gating_and_noise_confidence():
     rng = np.random.default_rng(0)
     voiced = tone_frames(120.0, n_frames=10)
