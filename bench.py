@@ -100,6 +100,32 @@ def main() -> None:
     best = min(pipelined, serialized)
     audio_sec_per_sec = seconds / best
 
+    # pitch stage (BASELINE.json configs[2]: "autocorrelation pitch-period
+    # detection on VAD-gated voiced segments"): the jitted signal-level
+    # track — on-device framing + Wiener-Khinchin matmul ACF + banded peak
+    # pick — gated on the composite VAD the main pipeline just produced.
+    from sspv_tpu.ops.pitch import pitch_track_signal
+
+    vad_gate = block.vad
+    f0, _ = pitch_track_signal(sig, vad_gate)  # compile/warm
+    jax.block_until_ready(f0)
+    tails = []
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        f0, conf = pitch_track_signal(sig, vad_gate)
+        tails.append(f0[-1] + conf[-1])
+    _ = float(jax.device_get(jnp.stack(tails).sum()))
+    pitch_pipelined = (time.perf_counter() - t0) / reps
+    t0 = time.perf_counter()
+    f0, conf = pitch_track_signal(sig, vad_gate)
+    jax.block_until_ready(f0)
+    _ = float(jax.device_get(f0[-1]))
+    pitch_serialized = time.perf_counter() - t0
+    pitch_best = min(pitch_pipelined, pitch_serialized)
+    pitch_audio_sec_per_sec = seconds / pitch_best
+    voiced_f0 = np.asarray(jax.device_get(f0))
+    voiced_f0 = voiced_f0[voiced_f0 > 0]
+
     # parity: normalized MSE vs the NumPy oracle on a 30 s slice
     check_s = 30
     sub = sig_np[: check_s * sr]
@@ -112,6 +138,24 @@ def main() -> None:
         "mfcc": _nmse(got_block.mfcc, want["mfcc"]),
     }
     max_mse = max(mses.values())
+
+    # pitch parity on the same slice: banded-ACF NMSE of the on-device
+    # matmul (Wiener-Khinchin) form vs the oracle's direct sliding sums
+    # (tests/oracle.py:autocorrelation semantics, time_features.py:73-76
+    # in the reference), and F0 agreement between the two ACF impls.
+    from sspv_tpu.ops.pitch import pitch_from_frames
+    from sspv_tpu.ops.time_features import autocorrelation_via_dft
+
+    pframes = _frame_raw(sub)[:2000]
+    lag_max = 319
+    acf_dft = np.asarray(jax.device_get(autocorrelation_via_dft(pframes, lag_max)))
+    acf_ref = _oracle_acf(pframes, lag_max)
+    pitch_acf_nmse = _nmse(acf_dft, acf_ref)
+    f0_d = np.asarray(jax.device_get(
+        pitch_from_frames(pframes, sr, acf_impl="direct")[0]))
+    f0_m = np.asarray(jax.device_get(
+        pitch_from_frames(pframes, sr, acf_impl="dft")[0]))
+    pitch_f0_match = float(np.mean(f0_d == f0_m))
 
     # Pallas-vs-XLA equality on real hardware: the fused kernel serves the
     # frames/streaming path; assert it agrees with the plain-JAX tail on the
@@ -142,6 +186,11 @@ def main() -> None:
                 "best_time_s": round(best, 5),
                 "pipelined_time_s": round(pipelined, 5),
                 "serialized_time_s": round(serialized, 5),
+                "pitch_audio_sec_per_sec": round(pitch_audio_sec_per_sec, 1),
+                "pitch_time_s": round(pitch_best, 5),
+                "pitch_acf_nmse": float(f"{pitch_acf_nmse:.3e}"),
+                "pitch_f0_impl_match": round(pitch_f0_match, 4),
+                "pitch_voiced_frames": int(voiced_f0.size),
                 "backend": jax.default_backend(),
                 **(
                     {"pallas_vs_xla_nmse_max": float(f"{max(pallas_nmse.values()):.3e}")}
@@ -157,6 +206,21 @@ def _nmse(got, want) -> float:
     got = np.asarray(got, np.float64)
     want = np.asarray(want, np.float64)
     return float(np.mean((got - want) ** 2) / max(np.mean(want**2), 1e-12))
+
+
+def _frame_raw(sig: np.ndarray, frame: int = 320, hop: int = 160) -> np.ndarray:
+    n = 1 + (len(sig) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+    return sig[idx].astype(np.float32)
+
+
+def _oracle_acf(frames: np.ndarray, max_lag: int) -> np.ndarray:
+    """Direct sliding-sum ACF (reference time_features.py:73-76 semantics)."""
+    x = frames.astype(np.float32)
+    cols = [np.sum(x * x, axis=1)]
+    for lag in range(1, max_lag + 1):
+        cols.append(np.sum(x[:, :-lag] * x[:, lag:], axis=1))
+    return np.stack(cols, axis=1)
 
 
 def _oracle_features(sig: np.ndarray) -> dict:

@@ -93,6 +93,7 @@ def main(argv) -> int:
             produced = max(produced, e.size)
             print(
                 f"t={elapsed:6.1f}s rss={rss_mb():7.1f}MB "
+                f"calls={rt.dispatch_count} "
                 f"recent_frames={e.size} voiced={int(v.sum()) if v.size else 0} "
                 f"err={rt.last_error}",
                 flush=True,

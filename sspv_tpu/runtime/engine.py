@@ -116,6 +116,12 @@ class AudioRuntime:
         self.last_error: Exception | None = None
         self.auto_stop_on_eof: bool = False
         self.lock = threading.Lock()
+        # Device dispatches since construction (one fused program execution
+        # per increment). Observability for the documented per-call client
+        # leak on tunneled remote backends (docs/faq.md): soak harnesses log
+        # RSS against this to measure leak-per-call and the effect of
+        # TPU_MIN_DISPATCH_INTERVAL coalescing.
+        self.dispatch_count = 0
 
         self._capture_thread: threading.Thread | None = None
         self._process_thread: threading.Thread | None = None
@@ -294,6 +300,7 @@ class AudioRuntime:
         out, self._vad_state_packed = self.pipeline.process_block_packed(
             frames, self._vad_state_packed, n
         )
+        self.dispatch_count += 1
         return out, n
 
     def _materialize(self, inflight) -> None:
