@@ -86,14 +86,19 @@ class QtVisualizer:
         for i, (key, label, color) in enumerate(specs):
             p = glw.addPlot(row=i, col=0, title=label)
             p.showGrid(x=True, y=True, alpha=0.2)
+            # Construct with NO positional data (the reference-proven call
+            # shape, visualization.py:286-307): real pyqtgraph's stepMode
+            # validation (len(x) == len(y)+1) is unverified for empty
+            # arrays in this Qt-less environment, so data only ever reaches
+            # the step curve via the guarded non-empty setData in _update.
             if key == "vad":
                 curve = p.plot(
-                    [], [], pen=pg.mkPen(color, width=1.5),
+                    pen=pg.mkPen(color, width=1.5),
                     fillLevel=0, brush=pg.mkBrush(color + "60"),
                     stepMode="center",
                 )
             else:
-                curve = p.plot([], [], pen=pg.mkPen(color, width=1))
+                curve = p.plot(pen=pg.mkPen(color, width=1))
             self.curves[key] = curve
             self.plots[key] = p
         return glw
