@@ -24,11 +24,26 @@ import jax
 import jax.numpy as jnp
 
 from .time_features import (
+    _acf_dft_bases,
     autocorrelation_via_dft,
     calculate_short_time_autocorrelation,
 )
 
 __all__ = ["pitch_from_frames", "pitch_track", "pitch_track_signal"]
+
+
+def _band_peak_pick(
+    acf: jnp.ndarray, lag_min: int, lag_max: int, sample_rate: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """F0 + confidence from a banded normalized-ACF peak (shared by the
+    frames and signal-view paths)."""
+    r0 = jnp.maximum(acf[:, 0], jnp.float32(1e-10))
+    band = acf[:, lag_min : lag_max + 1] / r0[:, None]
+    best = jnp.argmax(band, axis=1)
+    confidence = jnp.take_along_axis(band, best[:, None], axis=1)[:, 0]
+    lags = (best + lag_min).astype(jnp.float32)
+    f0 = jnp.float32(sample_rate) / lags
+    return f0.astype(jnp.float32), confidence.astype(jnp.float32)
 
 
 @functools.partial(
@@ -70,13 +85,7 @@ def pitch_from_frames(
         else calculate_short_time_autocorrelation
     )
     acf = acf_fn(x, lag_max)  # (F, lag_max+1)
-    r0 = jnp.maximum(acf[:, 0], jnp.float32(1e-10))
-    band = acf[:, lag_min : lag_max + 1] / r0[:, None]
-    best = jnp.argmax(band, axis=1)
-    confidence = jnp.take_along_axis(band, best[:, None], axis=1)[:, 0]
-    lags = (best + lag_min).astype(jnp.float32)
-    f0 = jnp.float32(sample_rate) / lags
-    return f0.astype(jnp.float32), confidence.astype(jnp.float32)
+    return _band_peak_pick(acf, lag_min, lag_max, sample_rate)
 
 
 def pitch_track(
@@ -128,6 +137,33 @@ def pitch_track_signal(
         z = jnp.zeros((0,), jnp.float32)
         return z, z
     n = 1 + (length - frame_size) // hop_size
+    if acf_impl == "dft" and frame_size == 2 * hop_size:
+        # Hop-phase fast path (50%-overlap geometry, same trick as the main
+        # pipeline's signal-view spectrum): frame i = concat(rows[i],
+        # rows[i+1]) of the (n+1, hop) signal view, so the frame-side DFT
+        # matmuls split into top/bottom-half matmuls against the basis —
+        # the (F, frame_size) frame matrix (2x-duplicated samples; ~0.5 GB
+        # for an hour of audio) is never materialized.
+        hop = hop_size
+        lag_min = max(1, int(sample_rate / fmax))
+        lag_max = min(frame_size - 1, int(sample_rate / fmin))
+        cos_b, sin_b, inv = _acf_dft_bases(frame_size, lag_max)
+        rows = x[: (n + 1) * hop].reshape(n + 1, hop)
+        top, bot = rows[:-1], rows[1:]
+        hp = jax.lax.Precision.HIGHEST
+        re = jnp.matmul(top, jnp.asarray(cos_b[:hop]), precision=hp,
+                        preferred_element_type=jnp.float32) + jnp.matmul(
+            bot, jnp.asarray(cos_b[hop:]), precision=hp,
+            preferred_element_type=jnp.float32)
+        im = jnp.matmul(top, jnp.asarray(sin_b[:hop]), precision=hp,
+                        preferred_element_type=jnp.float32) + jnp.matmul(
+            bot, jnp.asarray(sin_b[hop:]), precision=hp,
+            preferred_element_type=jnp.float32)
+        acf = jnp.matmul(re * re + im * im, jnp.asarray(inv), precision=hp,
+                         preferred_element_type=jnp.float32)
+        f0, conf = _band_peak_pick(acf, lag_min, lag_max, sample_rate)
+        gate = (jnp.asarray(vad) > 0) & (conf >= jnp.float32(min_confidence))
+        return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
     if frame_size % hop_size == 0:
         # strided-reshape framing (no index-matrix gather): frame i is rows
         # i..i+k-1 of the (hops, hop_size) view

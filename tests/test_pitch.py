@@ -73,8 +73,12 @@ def test_pitch_dft_impl_same_track():
     idx = np.arange(320)[None, :] + 160 * np.arange(n_frames)[:, None]
     f0_sig, conf_sig = pitch_track_signal(sig, vad)
     f0_frames, conf_frames = pitch_track(sig[idx], vad, 16000, acf_impl="dft")
+    # the signal path's hop-phase matmuls reassociate float sums vs the
+    # frames path at the ~1e-7 level; peaks on a clean tone are identical
     np.testing.assert_allclose(np.asarray(f0_sig), np.asarray(f0_frames))
-    np.testing.assert_allclose(np.asarray(conf_sig), np.asarray(conf_frames))
+    np.testing.assert_allclose(
+        np.asarray(conf_sig), np.asarray(conf_frames), rtol=1e-5
+    )
 
 
 def test_pitch_vad_gating_and_noise_confidence():
