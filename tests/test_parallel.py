@@ -260,6 +260,48 @@ def test_long_signal_real_scan_block_size_under_mesh():
     assert int(state.last_voiced) == int(want_state.last_voiced)
 
 
+def test_pitch_track_under_mesh():
+    """VAD-gated pitch over one long signal with the frame axis sharded over
+    the flattened mesh: per-frame banded-ACF peak picking is embarrassingly
+    parallel, so the sharded result must match the single-device jitted path
+    exactly (same program, same reassociation)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sspv_tpu.ops.pitch import pitch_track_signal
+
+    rng = np.random.default_rng(21)
+    n_frames = 256
+    length = (n_frames - 1) * 160 + 320
+    t = np.arange(length) / 16000.0
+    sig = np.where(
+        (t * 2).astype(int) % 2 == 0,
+        8000 * np.sin(2 * np.pi * 140 * t),
+        rng.normal(0, 2000, length),
+    ).astype(np.float32)
+
+    pipe = FeaturePipeline(FeatureConfig())
+    block, _ = pipe.process_signal_device(sig)
+    vad = np.asarray(block.vad)
+
+    f0_single, conf_single = pitch_track_signal(sig, vad)
+
+    mesh = make_mesh(8)
+    sig_sh = NamedSharding(mesh, P(("data", "seq")))
+    vad_sh = NamedSharding(mesh, P(("data", "seq")))
+    f0_mesh, conf_mesh = pitch_track_signal(
+        jax.device_put(sig, sig_sh), jax.device_put(vad, vad_sh)
+    )
+    np.testing.assert_array_equal(np.asarray(f0_single), np.asarray(f0_mesh))
+    # SPMD partitioning reassociates the matmul reductions at the ulp level
+    # (~1e-6 relative on confidence); the banded argmax (f0) is unchanged
+    np.testing.assert_allclose(
+        np.asarray(conf_single), np.asarray(conf_mesh), rtol=1e-5
+    )
+    assert np.asarray(f0_mesh).shape == (n_frames,)
+    assert (np.asarray(f0_mesh) > 0).any()
+
+
 def test_batch_masked_unequal_lengths():
     """dp batch of unequal-length signals via zero-padding + per-signal
     masked frame counts: each row must match processing its true-length

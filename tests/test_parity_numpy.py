@@ -103,6 +103,19 @@ def test_autocorrelation_parity(frames):
     assert nmse(got, want) < 1e-8
 
 
+def test_autocorrelation_dft_parity(frames):
+    """The MXU matmul ACF (Wiener-Khinchin) against the same NumPy oracle as
+    the direct form — the fast path must satisfy the identical parity gate."""
+    from sspv_tpu.ops.time_features import autocorrelation_via_dft
+
+    sub = frames[:50]
+    for max_lag in (100, 319):
+        got = np.asarray(autocorrelation_via_dft(sub, max_lag))
+        want = oracle.autocorrelation(sub, max_lag)
+        assert got.shape == (50, max_lag + 1)
+        assert nmse(got, want) < 1e-8
+
+
 def test_amdf_parity(frames):
     sub = frames[:50]
     got = np.asarray(ops.calculate_average_magnitude_difference(sub, 80))
