@@ -64,10 +64,18 @@ def main() -> None:
     sig = jax.device_put(jnp.asarray(sig_np))
     state0 = pipe.initial_state()
 
-    # warm-up / compile
+    # warm-up / compile; assert the production-default blocked trailing-sum
+    # branch (not the conv fallback) is what this benchmark compiles
+    from sspv_tpu.ops import vad as vad_ops
+
+    blocked_before = vad_ops.BLOCKED_TRACE_COUNT
     block, _ = pipe.process_signal_device(sig, state0)
     jax.block_until_ready(block)
     _ = int(jax.device_get(block.vad[-1]))
+    vad_impl = (
+        "blocked" if vad_ops.BLOCKED_TRACE_COUNT > blocked_before else "conv"
+    )
+    assert vad_impl == pipe.cfg.vad_trailing_impl == "blocked", vad_impl
 
     # Steady-state throughput: keep the dispatch pipeline full (async jax
     # dispatch; this is exactly how the streaming engine feeds the chip) and
@@ -191,6 +199,7 @@ def main() -> None:
                 "pitch_acf_nmse": float(f"{pitch_acf_nmse:.3e}"),
                 "pitch_f0_impl_match": round(pitch_f0_match, 4),
                 "pitch_voiced_frames": int(voiced_f0.size),
+                "vad_trailing_impl_compiled": vad_impl,
                 "backend": jax.default_backend(),
                 **(
                     {"pallas_vs_xla_nmse_max": float(f"{max(pallas_nmse.values()):.3e}")}
