@@ -41,3 +41,36 @@ def test_stream_generator_int16_chunks():
     total = sum(np.asarray(b.energy).size for b in blocks)
     want, _ = pipe.process_signal(sig)
     assert total == np.asarray(want.energy).size
+
+
+def test_stream_generator_top_bucket_blocked_path():
+    """A drain larger than the 2048-frame top bucket: the exact-2048 slice
+    and the 256-padded remainder are both history_len multiples, so the
+    production-default blocked trailing-sum branch must be what compiles
+    (trace counter), and decisions must match the one-shot (conv-path)
+    result — both are oracle-exact, so they must agree with each other."""
+    from sspv_tpu.ops import vad as vad_ops
+
+    rng = np.random.default_rng(10)
+    n_frames = 2048 + 151
+    n = (n_frames - 1) * 160 + 320  # exactly n_frames full frames
+    t = np.arange(n) / 16000.0
+    sig = np.where(
+        (t * 2).astype(int) % 3 == 1,
+        7000 * np.sin(2 * np.pi * 160 * t),
+        rng.normal(0, 2200, n),
+    ).astype(np.float32)
+
+    pipe = FeaturePipeline(FeatureConfig())
+    assert pipe.cfg.vad_trailing_impl == "blocked"
+    before = vad_ops.BLOCKED_TRACE_COUNT
+    blocks = list(pipe.stream([sig], buckets=(32, 256, 2048)))
+    assert vad_ops.BLOCKED_TRACE_COUNT > before
+    got_vad = np.concatenate([np.asarray(b.vad) for b in blocks])
+    got_energy = np.concatenate([np.asarray(b.energy) for b in blocks])
+    assert got_vad.size == n_frames
+    assert [np.asarray(b.vad).size for b in blocks] == [2048, 151]
+
+    want, _ = pipe.process_signal(sig)
+    np.testing.assert_array_equal(got_vad, np.asarray(want.vad))
+    np.testing.assert_allclose(got_energy, np.asarray(want.energy), rtol=1e-6)
