@@ -43,8 +43,11 @@ def analyze_file(path: str, png: str | None = None, npz: str | None = None) -> d
     vad = np.asarray(block.vad)
     mfcc = np.asarray(block.mfcc)
     frames = frame_i16_to_f32(pcm, Config.FRAME_SIZE, Config.HOP_SIZE)
+    # "dft" ACF: same values as the direct sliding sums within the parity
+    # gate, but three matmuls instead of an unrolled 320-slice program —
+    # the direct form's compile alone is minutes on remote-compile TPU.
     f0, conf = (
-        pitch_track(frames, vad, Config.SAMPLE_RATE)
+        pitch_track(frames, vad, Config.SAMPLE_RATE, acf_impl="dft")
         if frames.shape[0]
         else (np.zeros(0, np.float32), np.zeros(0, np.float32))
     )
