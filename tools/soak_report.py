@@ -26,7 +26,7 @@ _LINE = re.compile(
 
 
 def parse(path: str):
-    rows = []
+    rows, errors, verdict = [], 0, None
     with open(path) as f:
         for line in f:
             m = _LINE.search(line)
@@ -36,7 +36,11 @@ def parse(path: str):
                     (float(t), float(rss),
                      int(calls) if calls else None, int(frames))
                 )
-    return rows
+                if "err=None" not in line and "err=" in line:
+                    errors += 1
+            elif line.startswith("soak:"):
+                verdict = line.split()[-1]
+    return rows, errors, verdict
 
 
 def fit(xs, ys):
@@ -57,7 +61,7 @@ def main(argv):
     settle = 120.0
     if "--settle" in argv:
         settle = float(argv[argv.index("--settle") + 1])
-    rows = parse(path)
+    rows, errors, verdict = parse(path)
     if not rows:
         print(json.dumps({"error": "no samples parsed", "path": path}))
         return 1
@@ -82,6 +86,9 @@ def main(argv):
         "rss_end_mb": round(steady[-1][1], 1),
         "rss_slope_mb_per_s": round(mb_per_s, 5),
         "rss_24h_extrapolation_gb": round(mb_per_s * 86400 / 1024, 2),
+        "steady_samples_with_frames": sum(1 for r in steady if r[3] > 0),
+        "errors": errors,
+        **({"verdict": verdict} if verdict else {}),
     }
     calls = [r[2] for r in steady if r[2] is not None]
     if len(calls) >= 3 and calls[-1] > calls[0]:
