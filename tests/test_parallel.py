@@ -260,6 +260,36 @@ def test_long_signal_real_scan_block_size_under_mesh():
     assert int(state.last_voiced) == int(want_state.last_voiced)
 
 
+def test_batch_blocked_trailing_under_mesh():
+    """dp-batch (vmapped per-signal pipeline) with 256-frame rows: the
+    blocked trailing-sum branch must compile under vmap + mesh sharding too,
+    and every row must match its single-device result exactly."""
+    from sspv_tpu.ops import vad as vad_ops
+
+    rng = np.random.default_rng(19)
+    n_frames = 256
+    length = (n_frames - 1) * 160 + 320
+    signals = rng.normal(0, 3000, (8, length)).astype(np.float32)
+
+    mesh = make_mesh(8)
+    bp = BatchPipeline(mesh)
+    before = vad_ops.BLOCKED_TRACE_COUNT
+    block, states = bp.process_batch(signals)
+    assert vad_ops.BLOCKED_TRACE_COUNT > before, "dp batch used conv fallback"
+    assert np.asarray(block.vad).shape == (8, n_frames)
+
+    pipe = FeaturePipeline(FeatureConfig())
+    for i in range(8):
+        want, want_state = pipe.process_signal_device(signals[i])
+        np.testing.assert_allclose(
+            np.asarray(block.energy[i]), np.asarray(want.energy), rtol=2e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(block.vad[i]), np.asarray(want.vad)
+        )
+        assert int(states.count[i]) == int(want_state.count)
+
+
 def test_pitch_track_under_mesh():
     """VAD-gated pitch over one long signal with the frame axis sharded over
     the flattened mesh: per-frame banded-ACF peak picking is embarrassingly
