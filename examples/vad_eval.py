@@ -10,8 +10,10 @@ reproducibly at controlled SNRs:
     python examples/vad_eval.py
 
 Speech proxy: harmonic voiced bursts (f0 120-250 Hz with 3 partials and an
-amplitude envelope) of 0.3-1.5 s separated by pauses; noise: white Gaussian
-at the target SNR. Prints one JSON line per condition.
+amplitude envelope) of 0.3-1.5 s separated by pauses. Noise types: white
+Gaussian, "babble" (a sum of wandering low-frequency tones — spectrally
+speech-like, the adversarial case for the entropy gate), and "hum" (mains
+50 Hz + harmonics, strongly periodic). Prints one JSON line per condition.
 """
 
 from __future__ import annotations
@@ -23,7 +25,38 @@ import sys
 import numpy as np
 
 
-def synth_labeled(duration_s: float, sr: int, snr_db: float, seed: int):
+def make_noise(kind: str, n: int, sr: int, rng) -> np.ndarray:
+    """Unit-power noise of the given character."""
+    if kind == "white":
+        return rng.normal(0, 1.0, n)
+    if kind == "babble":
+        # 12 amplitude- and frequency-wandering tones between 100 and 800 Hz:
+        # concentrated low-frequency energy -> low spectral entropy, which
+        # stresses the (zcr | entropy) gate exactly where white noise cannot
+        t = np.arange(n) / sr
+        out = np.zeros(n)
+        for _ in range(12):
+            f = rng.uniform(100, 800)
+            drift = rng.uniform(-30, 30)
+            am = 0.5 + 0.5 * np.sin(
+                2 * np.pi * rng.uniform(0.3, 3.0) * t + rng.uniform(0, 6.28)
+            )
+            out += am * np.sin(2 * np.pi * (f + drift * t) * t + rng.uniform(0, 6.28))
+        return out / np.sqrt(np.mean(out**2))
+    if kind == "hum":
+        t = np.arange(n) / sr
+        out = (
+            np.sin(2 * np.pi * 50 * t)
+            + 0.5 * np.sin(2 * np.pi * 100 * t + 0.3)
+            + 0.25 * np.sin(2 * np.pi * 150 * t + 0.9)
+        )
+        out += 0.05 * rng.normal(0, 1.0, n)  # sensor floor
+        return out / np.sqrt(np.mean(out**2))
+    raise ValueError(kind)
+
+
+def synth_labeled(duration_s: float, sr: int, snr_db: float, seed: int,
+                  noise: str = "white"):
     rng = np.random.default_rng(seed)
     n = int(duration_s * sr)
     sig = np.zeros(n, dtype=np.float64)
@@ -50,7 +83,7 @@ def synth_labeled(duration_s: float, sr: int, snr_db: float, seed: int):
         t = end
     speech_power = np.mean(sig[labels] ** 2) if labels.any() else 1.0
     noise_power = speech_power / (10 ** (snr_db / 10))
-    sig += rng.normal(0, np.sqrt(noise_power), n)
+    sig += np.sqrt(noise_power) * make_noise(noise, n, sr, rng)
     return np.clip(sig, -32768, 32767).astype(np.float32), labels
 
 
@@ -87,14 +120,27 @@ def main() -> int:
 
     enable_persistent_cache()
     pipe = FeaturePipeline(FeatureConfig.from_config(Config))
-    conditions = [("quiet", 30.0), ("normal", 15.0), ("noisy", 5.0)]
-    for name, snr in conditions:
-        sig, labels = synth_labeled(60.0, Config.SAMPLE_RATE, snr, seed=7)
+    conditions = [
+        ("quiet", 30.0, "white"),
+        ("normal", 15.0, "white"),
+        ("noisy", 5.0, "white"),
+        ("babble_15dB", 15.0, "babble"),
+        ("babble_5dB", 5.0, "babble"),
+        ("hum_15dB", 15.0, "hum"),
+        ("hum_5dB", 5.0, "hum"),
+    ]
+    for name, snr, noise in conditions:
+        sig, labels = synth_labeled(
+            60.0, Config.SAMPLE_RATE, snr, seed=7, noise=noise
+        )
         block, _ = pipe.process_signal_auto(sig)
         jax.block_until_ready(block)
         pred = np.asarray(block.vad).astype(bool)
         truth = frame_labels(labels, Config.FRAME_SIZE, Config.HOP_SIZE)
-        result = {"condition": name, "snr_db": snr, **score(pred, truth)}
+        result = {
+            "condition": name, "snr_db": snr, "noise": noise,
+            **score(pred, truth),
+        }
         print(json.dumps(result))
     return 0
 
