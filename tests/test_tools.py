@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Measurement-harness unit tests: soak-log parsing and slope fitting."""
+
+import json
+import subprocess
+import sys
+
+
+def test_soak_report_parses_and_fits(tmp_path):
+    # synthetic soak log: 0.5 MB per call, 2 calls per 5 s sample, with a
+    # warm-up period (no frames) the steady-state fit must exclude
+    lines = []
+    rss = 200.0
+    calls = 0
+    for i in range(60):
+        t = 5.0 * (i + 1)
+        frames = 0 if t < 60 else 100
+        if frames:
+            calls += 2
+            rss += 1.0  # 0.5 MB/call
+        lines.append(
+            f"t={t:6.1f}s rss={rss:7.1f}MB calls={calls} "
+            f"recent_frames={frames} voiced=3 err=None"
+        )
+    lines.append("soak: PASS")
+    log = tmp_path / "soak.log"
+    log.write_text("\n".join(lines) + "\n")
+
+    out = subprocess.run(
+        [sys.executable, "tools/soak_report.py", str(log), "--settle", "30"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    rep = json.loads(out.stdout)
+    assert rep["verdict"] == "PASS"
+    assert rep["errors"] == 0
+    assert rep["first_frames_at_s"] == 60.0
+    # 1 MB per 5 s sample -> 0.2 MB/s; 0.5 MB/call
+    assert abs(rep["rss_slope_mb_per_s"] - 0.2) < 0.01
+    assert abs(rep["rss_mb_per_call"] - 0.5) < 0.01
+    assert rep["steady_samples_with_frames"] == rep["steady_samples"]
+
+
+def test_soak_report_no_frames(tmp_path):
+    log = tmp_path / "soak.log"
+    log.write_text(
+        "t=   5.0s rss=  100.0MB calls=0 recent_frames=0 voiced=0 err=None\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "tools/soak_report.py", str(log)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 1
+    assert "no frames" in json.loads(out.stdout)["error"]
