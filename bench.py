@@ -56,7 +56,11 @@ def main() -> None:
 
     from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
 
-    seconds = 3600.0
+    # 4 h of audio per dispatch: the lax.scan keeps compile cost
+    # length-independent, and the ~5-6 ms fixed per-call cost (tunnel RTT,
+    # launch, output buffers) amortizes — measured +28% throughput over
+    # 3600 s/call (tools/length_probe.py, docs/benchmarks.md).
+    seconds = 14400.0
     sr = 16000
     sig_np = synth_signal(seconds, sr)
 
@@ -114,23 +118,31 @@ def main() -> None:
     # pick — gated on the composite VAD the main pipeline just produced.
     from sspv_tpu.ops.pitch import pitch_track_signal
 
-    vad_gate = block.vad
-    f0, _ = pitch_track_signal(sig, vad_gate)  # compile/warm
+    # Pitch runs on the first hour: its banded-ACF intermediates are
+    # materialized (not scanned), so a 4 h single call would hold ~5 GB of
+    # (F, 320) activations for no extra information — the metric is
+    # audio-s/s either way.
+    pitch_seconds = 3600.0
+    pn = int(pitch_seconds * sr)
+    pitch_frames = 1 + (pn - 320) // 160
+    sig_p = sig[:pn]
+    vad_gate = block.vad[:pitch_frames]
+    f0, _ = pitch_track_signal(sig_p, vad_gate)  # compile/warm
     jax.block_until_ready(f0)
     tails = []
     t0 = time.perf_counter()
     for _ in range(reps):
-        f0, conf = pitch_track_signal(sig, vad_gate)
+        f0, conf = pitch_track_signal(sig_p, vad_gate)
         tails.append(f0[-1] + conf[-1])
     _ = float(jax.device_get(jnp.stack(tails).sum()))
     pitch_pipelined = (time.perf_counter() - t0) / reps
     t0 = time.perf_counter()
-    f0, conf = pitch_track_signal(sig, vad_gate)
+    f0, conf = pitch_track_signal(sig_p, vad_gate)
     jax.block_until_ready(f0)
     _ = float(jax.device_get(f0[-1]))
     pitch_serialized = time.perf_counter() - t0
     pitch_best = min(pitch_pipelined, pitch_serialized)
-    pitch_audio_sec_per_sec = seconds / pitch_best
+    pitch_audio_sec_per_sec = pitch_seconds / pitch_best
     voiced_f0 = np.asarray(jax.device_get(f0))
     voiced_f0 = voiced_f0[voiced_f0 > 0]
 
