@@ -136,6 +136,14 @@ class Config:
     # suite; cross-implementation agreement on chip is exact except at
     # sub-float32-resolution threshold ties (docs/benchmarks.md).
     TPU_VAD_TRAILING_IMPL = "blocked"
+    # Streaming dispatch layout: 1 = ship raw int16 SAMPLES and frame on
+    # device via the signal-view path (default — 4x fewer bytes per dispatch
+    # than the f32 frame matrix: 2x dtype, 2x overlap duplication; on the
+    # tunneled remote client the per-call host-memory leak scales with bytes
+    # moved, so this also quarters the leak rate — docs/benchmarks.md).
+    # 0 = legacy frames layout (always used when frame_size != 2*hop_size or
+    # the window is not strictly positive, where the view path cannot apply).
+    TPU_STREAM_SAMPLES_DISPATCH = 1
     # Low-latency streaming: materialize each dispatched block immediately
     # instead of keeping one block in flight (halves result latency at some
     # throughput cost), and add a small 8-frame bucket so near-real-time

@@ -167,6 +167,7 @@ class FeaturePipeline:
         self._signal_jit = jax.jit(self._process_signal_impl)
         self._block_packed_jit = jax.jit(self._process_block_packed_impl)
         self._signal_masked_jit = jax.jit(self._process_signal_masked_impl)
+        self._signal_packed_jit = jax.jit(self._process_signal_packed_impl)
 
     # -- core feature computation (traced) ---------------------------------
 
@@ -317,6 +318,63 @@ class FeaturePipeline:
             packed_state,
             jnp.int32(n_valid),
         )
+
+    def _process_signal_packed_impl(
+        self, samples: jnp.ndarray, packed_state: jnp.ndarray, true_len: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Raw int16 SAMPLES in (bucketed length), packed feature block out.
+
+        The streaming counterpart of :meth:`_process_block_packed_impl` that
+        frames ON DEVICE via the signal-view path (50%-overlap geometry):
+        the host ships ``(n_bucket+1)*hop`` int16 samples instead of an
+        ``(n_bucket, frame_size)`` float32 frame matrix — 4x fewer bytes
+        (2x dtype, 2x overlap duplication). On the tunneled remote client
+        the documented host-memory leak scales with bytes transferred
+        (docs/benchmarks.md soak table), so this is both the fast path and
+        the leak mitigation. ``true_len`` (traced scalar) is the un-padded
+        sample count; frames beyond it are masked out of the carried state.
+        """
+        c = self.cfg
+        state = vad_ops.unpack_state(packed_state, c.history_len)
+        x = samples.astype(jnp.float32)
+        length = int(samples.shape[0])
+        n = 1 + (length - c.frame_size) // c.hop_size
+        true_n = jnp.where(
+            true_len >= c.frame_size,
+            1 + (true_len - c.frame_size) // c.hop_size,
+            0,
+        ).astype(jnp.int32)
+        block, new_state = self._process_signal_view_impl(
+            x, state, n, true_n=true_n
+        )
+        out = jnp.concatenate(
+            [
+                block.energy[:, None],
+                block.zcr[:, None],
+                block.entropy[:, None],
+                block.vad.astype(jnp.float32)[:, None],
+                block.vad_adaptive.astype(jnp.float32)[:, None],
+                block.mfcc,
+            ],
+            axis=1,
+        )
+        return out, vad_ops.pack_state(new_state)
+
+    def process_signal_packed(
+        self, samples, packed_state, true_len: int
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Bucketed raw-sample streaming dispatch (see the impl docstring).
+        Requires the 50%-overlap geometry and a strictly positive window
+        (callers gate on :meth:`supports_samples_dispatch`)."""
+        return self._signal_packed_jit(
+            jnp.asarray(samples, dtype=jnp.int16),
+            packed_state,
+            jnp.int32(true_len),
+        )
+
+    def supports_samples_dispatch(self) -> bool:
+        c = self.cfg
+        return c.frame_size == 2 * c.hop_size and self._window_strictly_positive()
 
     def initial_packed_state(self) -> np.ndarray:
         return vad_ops.initial_packed_state(

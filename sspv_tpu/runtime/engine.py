@@ -145,6 +145,20 @@ class AudioRuntime:
         )
         if self._low_latency and self._buckets[0] > 8:
             self._buckets = (8,) + self._buckets
+        # Samples dispatch (default): ship raw int16 samples and frame ON
+        # DEVICE via the signal-view path — 4x fewer bytes per dispatch than
+        # the f32 frame-matrix layout (2x dtype, 2x the 50%-overlap
+        # duplication). On the tunneled remote client the documented
+        # host-memory leak scales with bytes moved, so this quarters the
+        # leak rate too (docs/benchmarks.md soak table). Falls back to the
+        # frames layout for exotic geometries (frame != 2*hop) or
+        # non-positive windows, where the view path doesn't apply.
+        self._samples_dispatch = bool(
+            int(getattr(Config, "TPU_STREAM_SAMPLES_DISPATCH", 1) or 0)
+        ) and self.pipeline.supports_samples_dispatch() and (
+            self.frame_size == self.pipeline.cfg.frame_size
+            and self.hop_size == self.pipeline.cfg.hop_size
+        )
 
     def _update_max_pending(self) -> None:
         """Backpressure bound on the capture backlog (samples). The reference
@@ -277,6 +291,23 @@ class AudioRuntime:
         frames = frame_i16_to_f32(carry, self.frame_size, self.hop_size)
         return frames, carry[frames.shape[0] * self.hop_size :]
 
+    def _take_samples(self, carry: np.ndarray) -> tuple[np.ndarray | None, np.ndarray]:
+        """Pull pending samples, return (int16 sample block covering every
+        complete frame, new carry). The block and the carry overlap by
+        ``frame_size - hop_size`` samples (streaming framing semantics:
+        frame n's tail is frame n+1's head)."""
+        with self.lock:
+            chunks = self._pending
+            self._pending = []
+            self._pending_samples = 0
+        if chunks:
+            carry = np.concatenate([carry] + chunks)
+        if len(carry) < self.frame_size:
+            return None, carry
+        n = 1 + (len(carry) - self.frame_size) // self.hop_size
+        block = carry[: (n - 1) * self.hop_size + self.frame_size]
+        return block, carry[n * self.hop_size :]
+
     def _bucket_for(self, n: int) -> int:
         for b in self._buckets:
             if n <= b:
@@ -299,6 +330,23 @@ class AudioRuntime:
             frames = np.pad(frames, ((0, bucket - n), (0, 0)))
         out, self._vad_state_packed = self.pipeline.process_block_packed(
             frames, self._vad_state_packed, n
+        )
+        self.dispatch_count += 1
+        return out, n
+
+    def _dispatch_samples(self, samples: np.ndarray):
+        """Pad an int16 sample block to a bucketed length and enqueue one
+        fused device call (non-blocking). Bucket lengths are expressed in
+        frames (the same ``TPU_STREAM_BUCKETS`` set as the frames layout);
+        a bucket of B frames is ``(B+1)*hop`` samples."""
+        n = 1 + (len(samples) - self.frame_size) // self.hop_size
+        bucket = self._bucket_for(n)
+        blen = (bucket - 1) * self.hop_size + self.frame_size
+        true_len = len(samples)
+        if blen != true_len:
+            samples = np.pad(samples, (0, blen - true_len))
+        out, self._vad_state_packed = self.pipeline.process_signal_packed(
+            samples, self._vad_state_packed, true_len
         )
         self.dispatch_count += 1
         return out, n
@@ -341,14 +389,33 @@ class AudioRuntime:
         max_bucket = self._buckets[-1]
         min_interval = float(getattr(Config, "TPU_MIN_DISPATCH_INTERVAL", 0.0) or 0.0)
         last_dispatch = 0.0
+        hop, frame = self.hop_size, self.frame_size
 
-        def dispatch_split(frames, inflight):
-            """Dispatch ``frames`` in <=max_bucket slices, keeping exactly one
-            block in flight (shape set stays fixed; pipelining preserved).
-            In low-latency mode nothing stays in flight: results are fetched
-            as soon as each block is enqueued."""
-            for lo in range(0, frames.shape[0], max_bucket):
-                nxt = self._dispatch(frames[lo : lo + max_bucket])
+        def take(carry):
+            """Mode-dependent pull: returns (payload or None, n_frames, carry)."""
+            if self._samples_dispatch:
+                block, carry = self._take_samples(carry)
+                if block is None:
+                    return None, 0, carry
+                return block, 1 + (len(block) - frame) // hop, carry
+            frames, carry = self._take_frames(carry)
+            if frames.shape[0] == 0:
+                return None, 0, carry
+            return frames, frames.shape[0], carry
+
+        def dispatch_split(payload, n, inflight):
+            """Dispatch ``payload`` in <=max_bucket-frame slices, keeping
+            exactly one block in flight (shape set stays fixed; pipelining
+            preserved). In low-latency mode nothing stays in flight: results
+            are fetched as soon as each block is enqueued. In samples mode
+            consecutive slices share the frame-overlap samples."""
+            for lo in range(0, n, max_bucket):
+                hi = min(n, lo + max_bucket)
+                if self._samples_dispatch:
+                    part = payload[lo * hop : (hi - 1) * hop + frame]
+                    nxt = self._dispatch_samples(part)
+                else:
+                    nxt = self._dispatch(payload[lo:hi])
                 if inflight is not None:
                     self._materialize(inflight)
                 if self._low_latency:
@@ -362,22 +429,22 @@ class AudioRuntime:
                 if min_interval and time.monotonic() - last_dispatch < min_interval:
                     time.sleep(Config.THREAD_SLEEP_TIME)
                     continue
-                frames, carry = self._take_frames(carry)
-                if frames.shape[0] == 0:
+                payload, n, carry = take(carry)
+                if n == 0:
                     if inflight is not None:
                         self._materialize(inflight)
                         inflight = None
                     time.sleep(Config.THREAD_SLEEP_TIME)
                     continue
                 last_dispatch = time.monotonic()
-                inflight = dispatch_split(frames, inflight)
+                inflight = dispatch_split(payload, n, inflight)
             # drain: publish the last in-flight block and any tail frames
             if inflight is not None:
                 self._materialize(inflight)
                 inflight = None
-            frames, carry = self._take_frames(carry)
-            if frames.shape[0]:
-                inflight = dispatch_split(frames, None)
+            payload, n, carry = take(carry)
+            if n:
+                inflight = dispatch_split(payload, n, None)
                 if inflight is not None:  # low-latency already materialized
                     self._materialize(inflight)
         except Exception as e:
