@@ -11,11 +11,15 @@ Internally the design is TPU-native instead of a per-frame Python loop:
 
 - a capture thread performs the blocking device/file reads (I/O needs a
   thread; that part of the reference architecture is sound);
-- the processing thread accumulates samples, frames them with a carried
-  overlap tail (streaming semantics: full frames only, engine.py:240-242),
-  pads the frame block to a small set of bucket sizes so jit sees fixed
-  shapes, and dispatches the whole block to the fused device pipeline
-  (features + composite VAD with carried ``VadState``) in ONE call;
+- the processing thread accumulates samples with a carried overlap tail
+  (streaming semantics: full frames only, engine.py:240-242), pads to a
+  small set of bucket sizes so jit sees fixed shapes, and dispatches the
+  whole block to the fused device pipeline (features + composite VAD with
+  carried ``VadState``) in ONE call. By default the dispatch payload is the
+  RAW int16 sample block and framing happens on device via the signal-view
+  path (4x fewer bytes across the host-device link than an f32 frame
+  matrix); the frame-matrix layout remains for geometries the view path
+  can't serve (``TPU_STREAM_SAMPLES_DISPATCH``);
 - dispatch is double-buffered: block k+1 is enqueued before block k's results
   are materialized, so host→device transfer and TPU compute overlap with
   result readback — this replaces the reference's producer/consumer deque
