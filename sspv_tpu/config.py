@@ -127,6 +127,15 @@ class Config:
     # relative error — at the edge of the parity gate, opt-in only).
     # Measured speed/parity tradeoff: docs/benchmarks.md.
     TPU_MATMUL_PRECISION = "highest"
+    # DFT basis layout for the spectrum matmuls: "merged" (default — the
+    # live cos/sin bins packed side by side into one (frame, n_fft) basis
+    # whose lane dimension tiles the 128-wide MXU cleanly, with the
+    # constant-column Nyquist bin peeled off as a fused matvec) or "pair"
+    # (two (frame, n_fft//2+1) bases; the odd 257-lane output pads to 3x128
+    # MXU tiles). Per-bin dots are mathematically identical (compiled
+    # reductions reassociate at ~3e-7 relative); "merged" requires even
+    # n_fft and falls back to "pair" otherwise. Measured: docs/benchmarks.md.
+    TPU_DFT_LAYOUT = "merged"
     # Adaptive-VAD trailing-history sums: "blocked" (two-level block
     # cumsums, default) or "conv" (ones-kernel convolution, the original
     # formulation; "blocked" falls back to it when the block length is not

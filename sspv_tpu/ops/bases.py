@@ -27,6 +27,7 @@ __all__ = [
     "mel_filterbank_np",
     "dft_bases",
     "windowed_dft_bases",
+    "merged_windowed_dft_bases",
     "dct_ortho_matrix",
     "lifter_vector",
 ]
@@ -128,6 +129,46 @@ def windowed_dft_bases(
     """DFT bases with the analysis window folded in, so the fused kernel can go
     straight from raw frames to the windowed spectrum in one matmul pair."""
     return _windowed_dft_cached(int(frame_size), int(n_fft), str(window_type))
+
+
+@functools.lru_cache(maxsize=16)
+def _merged_windowed_dft_cached(
+    frame_size: int, n_fft: int, window_type: str
+) -> tuple[np.ndarray, np.ndarray]:
+    wc, ws = _windowed_dft_cached(frame_size, n_fft, window_type)
+    half = n_fft // 2
+    merged = np.ascontiguousarray(
+        np.concatenate([wc[:, :half], ws[:, :half]], axis=1)
+    )
+    nyq = np.ascontiguousarray(wc[:, half])
+    return merged, nyq
+
+
+def merged_windowed_dft_bases(
+    frame_size: int, n_fft: int, window_type: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """MXU-tiled repacking of :func:`windowed_dft_bases` for even ``n_fft``.
+
+    The pair layout multiplies against two ``(frame, n_fft//2 + 1)`` bases;
+    on the MXU the odd 257-lane output pads to 3x128 tiles (33% wasted
+    lanes), and two of the 2x257 columns are known constants anyway (the
+    Nyquist bin ``k = n_fft/2`` has an identically-zero sin column, and its
+    cos column is just the +/-1-alternating window). This packs the live
+    bins ``0..half-1`` of cos and sin side by side into one
+    ``(frame, n_fft)`` basis — a clean multiple-of-128 lane dimension, one
+    matmul instead of two — and returns the windowed Nyquist cos column
+    separately for a cheap fused matvec. Each output bin is mathematically
+    the same dot product over the same K rows as the pair layout; compiled
+    reductions may still reassociate between the two programs, observed at
+    the ~3e-7 relative level (tests/test_parity_numpy.py pins both layouts
+    against the NumPy oracle and each other).
+
+    Returns ``(merged, nyq)``: ``(frame_size, n_fft)`` and ``(frame_size,)``.
+    Requires even ``n_fft``; callers fall back to the pair bases otherwise.
+    """
+    if int(n_fft) % 2 != 0:
+        raise ValueError("merged DFT layout requires even n_fft")
+    return _merged_windowed_dft_cached(int(frame_size), int(n_fft), str(window_type))
 
 
 @functools.lru_cache(maxsize=16)

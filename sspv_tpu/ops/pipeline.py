@@ -67,6 +67,14 @@ class FeatureConfig(NamedTuple):
     # quality at ~2x MXU rate), "default" (one bf16 pass — fastest, ~1e-5
     # relative error; at the edge of the parity gate, opt-in only).
     precision: str = "highest"
+    # DFT basis layout for the spectrum matmuls: "merged" (default — live
+    # cos/sin bins packed into one (frame, n_fft) basis, Nyquist bin as a
+    # fused matvec; the lane dimension tiles the 128-wide MXU cleanly) or
+    # "pair" (two (frame, n_fft//2+1) bases — the odd 257-lane output pads
+    # to 3x128 tiles). Per-bin dot products are mathematically identical
+    # between layouts (compiled reductions reassociate at ~3e-7 relative);
+    # "merged" needs even n_fft and falls back to "pair" otherwise.
+    dft_layout: str = "merged"
     # Trailing-history sum implementation for the adaptive VAD: "blocked"
     # (two-level block cumsums — default; falls back to conv when the block
     # length is not a multiple of history_len) or "conv" (ones-kernel
@@ -103,6 +111,9 @@ class FeatureConfig(NamedTuple):
             use_pallas=bool(getattr(c, "TPU_USE_PALLAS", True)),
             precision=str(
                 getattr(c, "TPU_MATMUL_PRECISION", "highest") or "highest"
+            ).lower(),
+            dft_layout=str(
+                getattr(c, "TPU_DFT_LAYOUT", "merged") or "merged"
             ).lower(),
             vad_trailing_impl=str(
                 getattr(c, "TPU_VAD_TRAILING_IMPL", "blocked") or "blocked"
@@ -147,6 +158,19 @@ class FeaturePipeline:
             )
         else:
             self._wc_ent = self._ws_ent = None
+        # MXU-tiled merged layout (see bases.merged_windowed_dft_bases):
+        # built alongside the pair bases; None when disabled or n_fft is odd.
+        self._wm = self._wnyq = None
+        self._wm_ent = self._wnyq_ent = None
+        if c.dft_layout == "merged":
+            if c.n_fft % 2 == 0:
+                self._wm, self._wnyq = bases.merged_windowed_dft_bases(
+                    c.frame_size, c.n_fft, c.window_type
+                )
+            if c.entropy_n_fft != c.n_fft and c.entropy_n_fft % 2 == 0:
+                self._wm_ent, self._wnyq_ent = bases.merged_windowed_dft_bases(
+                    c.frame_size, c.entropy_n_fft, c.window_type
+                )
         self._fb_t = bases.mel_filterbank_np(
             c.num_filters, c.n_fft, c.sample_rate
         ).T.copy()  # (n_bins, num_filters)
@@ -171,12 +195,25 @@ class FeaturePipeline:
 
     # -- core feature computation (traced) ---------------------------------
 
-    def _power_spectrum(self, frames: jnp.ndarray, which: str = "mfcc") -> jnp.ndarray:
-        """Windowed power spectrum from RAW frames via the DFT matmul pair."""
+    def _spectrum_bases(self, which: str):
+        """(merged, nyq, wc, ws) for the requested spectrum; merged is None
+        when the pair layout applies (knob off or odd n_fft)."""
         if which == "entropy" and self._wc_ent is not None:
-            wc, ws = self._wc_ent, self._ws_ent
-        else:
-            wc, ws = self._wc, self._ws
+            return self._wm_ent, self._wnyq_ent, self._wc_ent, self._ws_ent
+        return self._wm, self._wnyq, self._wc, self._ws
+
+    def _power_spectrum(self, frames: jnp.ndarray, which: str = "mfcc") -> jnp.ndarray:
+        """Windowed power spectrum from RAW frames via the DFT matmul pair
+        (or the single merged-basis matmul + Nyquist matvec; bases.py)."""
+        wm, wnyq, wc, ws = self._spectrum_bases(which)
+        if wm is not None:
+            half = wm.shape[1] // 2
+            m = jnp.matmul(frames, jnp.asarray(wm), precision=self._precision,
+                           preferred_element_type=jnp.float32)
+            nyq = jnp.matmul(frames, jnp.asarray(wnyq), precision=self._precision,
+                             preferred_element_type=jnp.float32)
+            power = m[:, :half] * m[:, :half] + m[:, half:] * m[:, half:]
+            return jnp.concatenate([power, (nyq * nyq)[:, None]], axis=-1)
         re = jnp.matmul(frames, jnp.asarray(wc), precision=self._precision,
                         preferred_element_type=jnp.float32)
         im = jnp.matmul(frames, jnp.asarray(ws), precision=self._precision,
@@ -448,7 +485,7 @@ class FeaturePipeline:
         crossings = row_changes[:-1] + row_changes[1:] + boundary.astype(jnp.int32)
         zcr = crossings.astype(jnp.float32) / jnp.float32(c.frame_size)
 
-        def spectrum(wc, ws):
+        def spectrum_pair(wc, ws):
             re = jnp.matmul(top, jnp.asarray(wc[:hop]), precision=self._precision,
                             preferred_element_type=jnp.float32) + jnp.matmul(
                 bot, jnp.asarray(wc[hop:]), precision=self._precision,
@@ -459,11 +496,28 @@ class FeaturePipeline:
                 preferred_element_type=jnp.float32)
             return re * re + im * im
 
-        power = spectrum(self._wc, self._ws)
+        def spectrum_merged(wm, wnyq):
+            half = wm.shape[1] // 2
+            m = jnp.matmul(top, jnp.asarray(wm[:hop]), precision=self._precision,
+                           preferred_element_type=jnp.float32) + jnp.matmul(
+                bot, jnp.asarray(wm[hop:]), precision=self._precision,
+                preferred_element_type=jnp.float32)
+            nyq = jnp.matmul(top, jnp.asarray(wnyq[:hop]), precision=self._precision,
+                             preferred_element_type=jnp.float32) + jnp.matmul(
+                bot, jnp.asarray(wnyq[hop:]), precision=self._precision,
+                preferred_element_type=jnp.float32)
+            power = m[:, :half] * m[:, :half] + m[:, half:] * m[:, half:]
+            return jnp.concatenate([power, (nyq * nyq)[:, None]], axis=-1)
+
+        def spectrum(which):
+            wm, wnyq, wc, ws = self._spectrum_bases(which)
+            if wm is not None:
+                return spectrum_merged(wm, wnyq)
+            return spectrum_pair(wc, ws)
+
+        power = spectrum("mfcc")
         power_ent = (
-            spectrum(self._wc_ent, self._ws_ent)
-            if self._wc_ent is not None
-            else power
+            spectrum("entropy") if self._wc_ent is not None else power
         )
         return self._spectral_tail(energy, zcr, power, power_ent)
 

@@ -201,3 +201,60 @@ def test_pipeline_features_parity(speech_like):
     )
     assert nmse(feats["mfcc"], oracle.mfcc(windowed, 16000, lifter=22)) < 1e-5
     assert nmse(feats["entropy"], oracle.spectral_entropy(windowed, 512)) < 1e-6
+
+
+def test_dft_layout_merged_vs_pair(speech_like):
+    """The MXU-tiled merged DFT basis (bases.merged_windowed_dft_bases) and
+    the pair layout compute the same per-bin dot products; compiled
+    reductions may reassociate, so agreement is pinned tightly but not
+    bitwise. Both layouts must independently clear the oracle gates."""
+    from sspv_tpu.ops.pipeline import FeaturePipeline, FeatureConfig
+
+    raw = oracle.framing(speech_like, 320, 160, np.ones(320, np.float32))
+    windowed = (raw * oracle.hamming(320)).astype(np.float32)
+    pm = FeaturePipeline(FeatureConfig(dft_layout="merged", use_pallas=False))
+    pp = FeaturePipeline(FeatureConfig(dft_layout="pair", use_pallas=False))
+    assert pm._wm is not None and pp._wm is None
+    fa, fb = pm.features(raw), pp.features(raw)
+    for key in ("energy", "zcr", "entropy", "mfcc"):
+        a, b = np.asarray(fa[key]), np.asarray(fb[key])
+        assert nmse(a, b) < 1e-12, key
+    for feats in (fa, fb):
+        assert nmse(feats["mfcc"], oracle.mfcc(windowed, 16000, lifter=22)) < 1e-5
+        assert nmse(feats["entropy"], oracle.spectral_entropy(windowed, 512)) < 1e-6
+
+    # signal-view (hop-phase) path: whole-signal offline results agree too,
+    # including the VAD decisions on this corpus
+    ra, _ = pm.process_signal(speech_like)
+    rb, _ = pp.process_signal(speech_like)
+    assert nmse(np.asarray(ra.mfcc), np.asarray(rb.mfcc)) < 1e-12
+    assert nmse(np.asarray(ra.entropy), np.asarray(rb.entropy)) < 1e-12
+    np.testing.assert_array_equal(np.asarray(ra.vad), np.asarray(rb.vad))
+
+
+def test_dft_layout_merged_nyquist_and_dc_columns():
+    """The peeled Nyquist column equals the +/-1-alternating window row-wise,
+    and the merged basis's im half starts with the all-zero DC sin column."""
+    from sspv_tpu.ops import bases
+    from sspv_tpu.ops.windows import get_window
+
+    merged, nyq = bases.merged_windowed_dft_bases(320, 512, "hamming")
+    assert merged.shape == (320, 512) and nyq.shape == (320,)
+    w = get_window("hamming", 320).astype(np.float64)
+    signs = np.cos(-np.pi * np.arange(320))  # cos(-pi*n) = (-1)^n
+    np.testing.assert_allclose(nyq, (w * signs).astype(np.float32), atol=0)
+    np.testing.assert_array_equal(merged[:, 256], np.zeros(320, np.float32))
+
+
+def test_dft_layout_odd_nfft_falls_back_to_pair():
+    from sspv_tpu.ops.pipeline import FeaturePipeline, FeatureConfig
+
+    pipe = FeaturePipeline(
+        FeatureConfig(dft_layout="merged", n_fft=511, entropy_n_fft=511,
+                      use_pallas=False)
+    )
+    assert pipe._wm is None  # pair bases serve odd n_fft
+    rng = np.random.default_rng(3)
+    raw = rng.standard_normal((16, 320)).astype(np.float32) * 1000
+    feats = pipe.features(raw)
+    assert np.asarray(feats["mfcc"]).shape == (16, 13)

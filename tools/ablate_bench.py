@@ -163,6 +163,12 @@ def main(argv):
     run_stage(base, "features", "features_no_vad")
     run_stage(base, "vad", "features_plus_vad")
 
+    # DFT basis layout A/B: the shipped default is "merged" (one MXU-tiled
+    # (frame, n_fft) basis + Nyquist matvec, inside full_highest above);
+    # "pair" is the two-(frame, 257)-bases layout it replaced
+    pair = FeaturePipeline(FeatureConfig(dft_layout="pair"))
+    run_full(pair, "full_dft_pair", parity(pair))
+
     # precision variants via the FeatureConfig knob: retrace, measure,
     # and report parity headroom
     for prec in ("high", "default"):
