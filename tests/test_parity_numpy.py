@@ -258,3 +258,36 @@ def test_dft_layout_odd_nfft_falls_back_to_pair():
     raw = rng.standard_normal((16, 320)).astype(np.float32) * 1000
     feats = pipe.features(raw)
     assert np.asarray(feats["mfcc"]).shape == (16, 13)
+
+
+@pytest.mark.parametrize(
+    "frame_size,n_fft,ent_n_fft",
+    [
+        (320, 256, 256),    # n_fft < frame_size (basis truncates input)
+        (320, 512, 1024),   # distinct even entropy spectrum
+        (320, 512, 511),    # merged mfcc basis + pair entropy fallback
+        (256, 1024, 1024),  # heavy zero-padding
+        (400, 512, 512),    # 25 ms frames (frame > n_fft rows kept)
+    ],
+)
+def test_dft_layout_geometry_fuzz(frame_size, n_fft, ent_n_fft):
+    """Merged and pair layouts agree (and both clear the oracle gates)
+    across frame/FFT geometries, including truncation, zero-padding, and
+    the odd-entropy-n_fft partial fallback."""
+    from sspv_tpu.ops.pipeline import FeaturePipeline, FeatureConfig
+
+    rng = np.random.default_rng(frame_size + n_fft + ent_n_fft)
+    raw = (rng.standard_normal((32, frame_size)) * 2000).astype(np.float32)
+    kw = dict(frame_size=frame_size, hop_size=frame_size // 2,
+              n_fft=n_fft, entropy_n_fft=ent_n_fft, use_pallas=False)
+    pm = FeaturePipeline(FeatureConfig(dft_layout="merged", **kw))
+    pp = FeaturePipeline(FeatureConfig(dft_layout="pair", **kw))
+    fa, fb = pm.features(raw), pp.features(raw)
+    for key in ("energy", "zcr", "entropy", "mfcc"):
+        assert nmse(np.asarray(fa[key]), np.asarray(fb[key])) < 1e-12, key
+    windowed = (raw * oracle.hamming(frame_size)).astype(np.float32)
+    want_mfcc = oracle.mfcc(windowed, 16000, n_fft=n_fft, lifter=22)
+    want_ent = oracle.spectral_entropy(windowed, ent_n_fft)
+    for feats in (fa, fb):
+        assert nmse(np.asarray(feats["mfcc"]), want_mfcc) < 1e-5
+        assert nmse(np.asarray(feats["entropy"]), want_ent) < 1e-6
