@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .time_features import (
-    _acf_dft_bases,
+    _acf_dft_bases_merged,
     autocorrelation_via_dft,
     calculate_short_time_autocorrelation,
 )
@@ -147,20 +147,26 @@ def pitch_track_signal(
         hop = hop_size
         lag_min = max(1, int(sample_rate / fmax))
         lag_max = min(frame_size - 1, int(sample_rate / fmin))
-        cos_b, sin_b, inv = _acf_dft_bases(frame_size, lag_max)
+        merged, nyq_b, inv_live, inv_nyq = _acf_dft_bases_merged(
+            frame_size, lag_max
+        )
+        half = merged.shape[1] // 2
         rows = x[: (n + 1) * hop].reshape(n + 1, hop)
         top, bot = rows[:-1], rows[1:]
         hp = jax.lax.Precision.HIGHEST
-        re = jnp.matmul(top, jnp.asarray(cos_b[:hop]), precision=hp,
-                        preferred_element_type=jnp.float32) + jnp.matmul(
-            bot, jnp.asarray(cos_b[hop:]), precision=hp,
+        m = jnp.matmul(top, jnp.asarray(merged[:hop]), precision=hp,
+                       preferred_element_type=jnp.float32) + jnp.matmul(
+            bot, jnp.asarray(merged[hop:]), precision=hp,
             preferred_element_type=jnp.float32)
-        im = jnp.matmul(top, jnp.asarray(sin_b[:hop]), precision=hp,
-                        preferred_element_type=jnp.float32) + jnp.matmul(
-            bot, jnp.asarray(sin_b[hop:]), precision=hp,
+        nyq = jnp.matmul(top, jnp.asarray(nyq_b[:hop]), precision=hp,
+                         preferred_element_type=jnp.float32) + jnp.matmul(
+            bot, jnp.asarray(nyq_b[hop:]), precision=hp,
             preferred_element_type=jnp.float32)
-        acf = jnp.matmul(re * re + im * im, jnp.asarray(inv), precision=hp,
-                         preferred_element_type=jnp.float32)
+        power = m[:, :half] * m[:, :half] + m[:, half:] * m[:, half:]
+        acf = jnp.matmul(power, jnp.asarray(inv_live), precision=hp,
+                         preferred_element_type=jnp.float32) + (
+            nyq * nyq
+        )[:, None] * jnp.asarray(inv_nyq)[None, :]
         f0, conf = _band_peak_pick(acf, lag_min, lag_max, sample_rate)
         gate = (jnp.asarray(vad) > 0) & (conf >= jnp.float32(min_confidence))
         return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf

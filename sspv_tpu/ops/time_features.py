@@ -100,6 +100,35 @@ def _acf_dft_bases(frame_size: int, max_lag: int):
     return cos_b, sin_b, inv
 
 
+@functools.lru_cache(maxsize=8)
+def _acf_dft_bases_merged(frame_size: int, max_lag: int):
+    """MXU-tiled repacking of :func:`_acf_dft_bases` (same trick as
+    ``bases.merged_windowed_dft_bases``): the live cos/sin bins pack into one
+    ``(frame_size, nfft)`` basis whose lane dimension is the 128-rounded
+    ``nfft`` itself, and the Nyquist bin (sin column identically zero, cos
+    column the +/-1 alternation; always present — nfft is rounded to a
+    multiple of 128, hence even) is peeled off as a matvec plus a rank-1
+    inverse term.
+
+    Returns ``(merged (frame, nfft), nyq (frame,), inv_live (nfft//2, L+1),
+    inv_nyq (L+1,))`` with
+    ``acf = p_live @ inv_live + p_nyq[:, None] * inv_nyq[None, :]``.
+    """
+    import numpy as np
+
+    cos_b, sin_b, inv = _acf_dft_bases(frame_size, max_lag)
+    half = cos_b.shape[1] - 1  # nfft // 2
+    merged = np.ascontiguousarray(
+        np.concatenate([cos_b[:, :half], sin_b[:, :half]], axis=1)
+    )
+    return (
+        merged,
+        np.ascontiguousarray(cos_b[:, half]),
+        np.ascontiguousarray(inv[:half]),
+        np.ascontiguousarray(inv[half]),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("max_lag",))
 def autocorrelation_via_dft(frames: jnp.ndarray, max_lag: int) -> jnp.ndarray:
     """Short-time autocorrelation 0..max_lag via Wiener-Khinchin as three
@@ -117,15 +146,21 @@ def autocorrelation_via_dft(frames: jnp.ndarray, max_lag: int) -> jnp.ndarray:
     num_frames = x.shape[0] if x.ndim == 2 else 0
     if num_frames == 0 or x.size == 0 or max_lag < 0:
         return jnp.zeros((num_frames, max(0, max_lag + 1)), dtype=jnp.float32)
-    cos_b, sin_b, inv = _acf_dft_bases(int(x.shape[-1]), int(max_lag))
+    merged, nyq_b, inv_live, inv_nyq = _acf_dft_bases_merged(
+        int(x.shape[-1]), int(max_lag)
+    )
+    half = merged.shape[1] // 2
     hp = jax.lax.Precision.HIGHEST
-    re = jnp.matmul(x, jnp.asarray(cos_b), precision=hp,
-                    preferred_element_type=jnp.float32)
-    im = jnp.matmul(x, jnp.asarray(sin_b), precision=hp,
-                    preferred_element_type=jnp.float32)
-    power = re * re + im * im
-    return jnp.matmul(power, jnp.asarray(inv), precision=hp,
-                      preferred_element_type=jnp.float32)
+    m = jnp.matmul(x, jnp.asarray(merged), precision=hp,
+                   preferred_element_type=jnp.float32)
+    nyq = jnp.matmul(x, jnp.asarray(nyq_b), precision=hp,
+                     preferred_element_type=jnp.float32)
+    power = m[:, :half] * m[:, :half] + m[:, half:] * m[:, half:]
+    return (
+        jnp.matmul(power, jnp.asarray(inv_live), precision=hp,
+                   preferred_element_type=jnp.float32)
+        + (nyq * nyq)[:, None] * jnp.asarray(inv_nyq)[None, :]
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_lag",))
