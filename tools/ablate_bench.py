@@ -97,19 +97,23 @@ def main(argv):
             def step(st, inp):
                 start, va = inp
                 rb = lax.dynamic_slice(rows, (start, 0), (b + 1, hop))
-                if stage in ("spectrum", "spectrum_merged"):
+                if stage in ("spectrum", "spectrum_pair"):
+                    # "spectrum" = whatever basis layout the pipeline ships
+                    # (merged by default since r3); "spectrum_pair" = the two
+                    # narrow (hop, n_bins) bases layout it replaced
                     top, bot = rb[:-1], rb[1:]
-                    wc, ws = pipe._wc, pipe._ws
                     hi = jax.lax.Precision.HIGHEST
-                    if stage == "spectrum_merged":
-                        # one (hop, 2*n_bins) basis per half: 2 wide matmuls
-                        # instead of 4 narrow ones
-                        w_all = np.concatenate([wc, ws], axis=1)
-                        zc = jnp.matmul(top, jnp.asarray(w_all[:hop]), precision=hi) + jnp.matmul(
-                            bot, jnp.asarray(w_all[hop:]), precision=hi)
-                        nb_ = wc.shape[1]
-                        re, im = zc[:, :nb_], zc[:, nb_:]
-                        return st, jnp.sum(re * re + im * im)
+                    wm, wnyq, wc, ws = pipe._spectrum_bases("mfcc")
+                    if stage == "spectrum" and wm is not None:
+                        half = wm.shape[1] // 2
+                        m = jnp.matmul(top, jnp.asarray(wm[:hop]), precision=hi) + jnp.matmul(
+                            bot, jnp.asarray(wm[hop:]), precision=hi)
+                        nyq = jnp.matmul(top, jnp.asarray(wnyq[:hop]), precision=hi) + jnp.matmul(
+                            bot, jnp.asarray(wnyq[hop:]), precision=hi)
+                        return st, (
+                            jnp.sum(m[:, :half] * m[:, :half] + m[:, half:] * m[:, half:])
+                            + jnp.sum(nyq * nyq)
+                        )
                     re = jnp.matmul(top, jnp.asarray(wc[:hop]), precision=hi) + jnp.matmul(
                         bot, jnp.asarray(wc[hop:]), precision=hi)
                     im = jnp.matmul(top, jnp.asarray(ws[:hop]), precision=hi) + jnp.matmul(
@@ -159,7 +163,7 @@ def main(argv):
     base = FeaturePipeline(FeatureConfig())
     run_full(base, "full_highest")
     run_stage(base, "spectrum", "spectrum_only")
-    run_stage(base, "spectrum_merged", "spectrum_merged")
+    run_stage(base, "spectrum_pair", "spectrum_pair_only")
     run_stage(base, "features", "features_no_vad")
     run_stage(base, "vad", "features_plus_vad")
 
