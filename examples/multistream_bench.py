@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Concurrent-stream serving benchmark: N independent ``AudioRuntime``
+engines share one chip.
+
+The reference is a single-stream desktop app; a serving deployment instead
+runs many live streams against one accelerator. Each engine here owns its
+device state (packed VAD-state vector) and dispatches its own blocks; the
+XLA queue interleaves them, so per-call host/RTT overhead amortizes across
+streams and aggregate throughput scales until the chip (or the tunnel)
+saturates. Flood-paced sources measure the ceiling; real mic-paced streams
+use ~1/3000th of it each (docs/benchmarks.md streaming table).
+
+Usage:  python examples/multistream_bench.py [n_streams] [seconds_each]
+(TPU by default; CPU: PYTHONPATH= JAX_PLATFORMS=cpu python ...)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class FloodSource:
+    """Serves ``seconds`` of synthetic speech as fast as the engine asks."""
+
+    def __init__(self, seconds: float, sample_rate: int, seed: int = 0,
+                 chunk_samples: int = 16000):
+        self.sample_rate = sample_rate
+        self.channels = 1
+        n = int(seconds * sample_rate)
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / sample_rate
+        sig = rng.normal(0, 600, n)
+        voiced = ((t * 2).astype(int) % 2) == 1
+        sig = np.where(voiced, 9000 * np.sin(2 * np.pi * (120 + 40 * seed) * t), sig)
+        self._data = sig.astype(np.int16)
+        self._pos = 0
+        self._chunk = chunk_samples
+        self.exhausted = False
+
+    def open(self) -> None:
+        self._pos = 0
+        self.exhausted = False
+
+    def read(self, num_frames: int) -> np.ndarray:
+        if self._pos >= len(self._data):
+            self.exhausted = True
+            return np.array([], dtype=np.int16)
+        end = min(len(self._data), self._pos + self._chunk)
+        chunk = self._data[self._pos:end]
+        self._pos = end
+        if self._pos >= len(self._data):
+            self.exhausted = True
+        return chunk
+
+    def close(self) -> None:
+        pass
+
+
+def main(argv) -> int:
+    n_streams = int(argv[0]) if argv else 4
+    seconds = float(argv[1]) if len(argv) > 1 else 60.0
+
+    import jax
+
+    from sspv_tpu.config import Config
+    from sspv_tpu.runtime import AudioRuntime
+    from sspv_tpu.utils.cache import enable_persistent_cache
+
+    Config.load_from_env()
+    enable_persistent_cache()
+    sr = Config.SAMPLE_RATE
+    frame, hop = Config.FRAME_SIZE, Config.HOP_SIZE
+    expected = 1 + (int(seconds * sr) - frame) // hop
+
+    # ONE shared FeaturePipeline for every stream: the jitted callables (and
+    # their loaded executables) are stateless w.r.t. the stream — all mutable
+    # state lives in each engine's packed VAD-state vector — so N engines
+    # reuse the same compiled programs instead of paying N executable loads
+    from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
+
+    shared_pipe = FeaturePipeline(FeatureConfig.from_config(Config))
+
+    # warm the executables with one throwaway engine so the timed region
+    # measures steady-state serving, not per-process compile/load
+    warm = AudioRuntime(audio_source=FloodSource(2.0, sr), pipeline=shared_pipe)
+    warm.start()
+    t0 = time.time()
+    while warm.frames_processed < 1 + (2 * sr - frame) // hop:
+        if warm.last_error is not None or time.time() - t0 > 1800:
+            print("warmup failed:", warm.last_error)
+            return 1
+        time.sleep(0.1)
+    warm.stop()
+
+    engines = [
+        AudioRuntime(
+            audio_source=FloodSource(seconds, sr, seed=i), pipeline=shared_pipe
+        )
+        for i in range(n_streams)
+    ]
+    t0 = time.perf_counter()
+    for rt in engines:
+        rt.start()
+    done = [False] * n_streams
+    finish = [0.0] * n_streams
+    deadline = time.time() + max(600.0, 20 * seconds)
+    while not all(done):
+        for i, rt in enumerate(engines):
+            if not done[i] and rt.frames_processed >= expected:
+                done[i] = True
+                finish[i] = time.perf_counter() - t0
+            if rt.last_error is not None:
+                print(f"stream {i} error: {rt.last_error}")
+                return 1
+        if time.time() > deadline:
+            print("timeout; frames:", [rt.frames_processed for rt in engines])
+            return 1
+        time.sleep(0.005)
+    wall = max(finish)
+    for rt in engines:
+        rt.stop()
+
+    dispatches = sum(rt.dispatch_count for rt in engines)
+    agg = n_streams * seconds / wall
+    import json
+
+    print(json.dumps({
+        "backend": jax.default_backend(),
+        "n_streams": n_streams,
+        "seconds_each": seconds,
+        "wall_s": round(wall, 3),
+        "aggregate_audio_x_realtime": round(agg, 1),
+        "per_stream_x_realtime": round(agg / n_streams, 1),
+        "total_dispatches": dispatches,
+        "per_stream_finish_s": [round(f, 3) for f in finish],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -126,6 +126,11 @@ class AudioRuntime:
         # RSS against this to measure leak-per-call and the effect of
         # TPU_MIN_DISPATCH_INTERVAL coalescing.
         self.dispatch_count = 0
+        # Monotonic count of frames materialized to the host since
+        # construction (unlike ``processed_data``, never trimmed) — lets
+        # serving harnesses track completion/throughput without polling the
+        # bounded display deque (examples/multistream_bench.py, soak logs).
+        self.frames_processed = 0
 
         self._capture_thread: threading.Thread | None = None
         self._process_thread: threading.Thread | None = None
@@ -373,6 +378,7 @@ class AudioRuntime:
         vad_adaptive = host.vad_adaptive
         mfcc = host.mfcc
         with self.lock:
+            self.frames_processed += n
             for i in range(n):
                 self.energy_history.append(float(energy[i]))
                 self.zcr_history.append(float(zcr[i]))

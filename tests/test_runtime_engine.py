@@ -70,6 +70,9 @@ def test_runtime_engine_with_dummy_source():
     assert vads.size == energies.size
     audio = rt.get_recent_audio()
     assert audio.dtype == np.int16 and audio.size > 0
+    # the monotonic serving counter tracks everything materialized
+    assert rt.frames_processed == energies.size
+    assert rt.dispatch_count > 0
 
 
 def test_engine_output_matches_sequential_oracle():
