@@ -146,7 +146,9 @@ def main() -> None:
     voiced_f0 = np.asarray(jax.device_get(f0))
     voiced_f0 = voiced_f0[voiced_f0 > 0]
 
-    # parity: normalized MSE vs the NumPy oracle on a 30 s slice
+    # parity: normalized MSE vs the NumPy oracle on a 30 s slice through
+    # the frames/Pallas path (the streaming engine's path; the fused kernel
+    # runs f32-accurate regardless of TPU_MATMUL_PRECISION)
     check_s = 30
     sub = sig_np[: check_s * sr]
     want = _oracle_features(sub)
@@ -157,7 +159,22 @@ def main() -> None:
         "entropy": _nmse(got_block.entropy, want["entropy"]),
         "mfcc": _nmse(got_block.mfcc, want["mfcc"]),
     }
-    max_mse = max(mses.values())
+
+    # view-path parity: the timed headline program is the hop-phase signal
+    # view whose matmuls honor cfg.precision ("high" bf16_3x by default) —
+    # gate IT against the oracle too, on the first 600 s of the very block
+    # the timing loop produced. Per-frame features are frame-local and the
+    # VAD state starts identical, so the long block's prefix equals a
+    # standalone 600 s run; 30 s is too short for precision effects to
+    # surface (XLA lowers small matmuls differently).
+    view_s = 600
+    vf = 1 + (view_s * sr - 320) // 160
+    want_v = _oracle_features(sig_np[: view_s * sr])
+    view_mses = {
+        k: _nmse(np.asarray(jax.device_get(getattr(block, k)[:vf])), want_v[k])
+        for k in ("energy", "zcr", "entropy", "mfcc")
+    }
+    max_mse = max(max(mses.values()), max(view_mses.values()))
 
     # pitch parity on the same slice: banded-ACF NMSE of the on-device
     # matmul (Wiener-Khinchin) form vs the oracle's direct sliding sums
@@ -185,7 +202,10 @@ def main() -> None:
     pallas_nmse = None
     if jax.default_backend() == "tpu" and pipe._use_pallas:
         frames = pipe.stream_frames(sub)[:2048]
-        plain = FeaturePipeline(FeatureConfig(use_pallas=False))
+        # like-for-like kernel-equivalence check: the Pallas kernel rounds
+        # "high" up to HIGHEST internally, so pin the XLA side to highest
+        # too — this gate tests kernel correctness, not precision policy
+        plain = FeaturePipeline(FeatureConfig(use_pallas=False, precision="highest"))
         got_p = jax.device_get(pipe.features(frames))
         got_x = jax.device_get(plain.features(frames))
         pallas_nmse = {k: _nmse(got_p[k], got_x[k]) for k in got_x}
@@ -202,6 +222,10 @@ def main() -> None:
                 "realtime_factor": round(audio_sec_per_sec, 1),
                 "feature_nmse_max": float(f"{max_mse:.3e}"),
                 "feature_nmse": {k: float(f"{v:.3e}") for k, v in mses.items()},
+                "feature_nmse_view": {
+                    k: float(f"{v:.3e}") for k, v in view_mses.items()
+                },
+                "matmul_precision": pipe.cfg.precision,
                 "frames_per_call": int(np.asarray(block.energy).shape[0]),
                 "best_time_s": round(best, 5),
                 "pipelined_time_s": round(pipelined, 5),

@@ -121,12 +121,17 @@ class Config:
     # (docs/benchmarks.md) and XLA needs no custom kernel there — so this
     # knob does not affect it.
     TPU_USE_PALLAS = True
-    # Matmul precision for the pipeline's parity-critical DFT/mel/DCT
-    # matmuls: "highest" (f32-accurate), "high" (bf16_3x on TPU: ~f32
-    # quality, roughly 2x the MXU rate), "default" (one bf16 pass; ~1e-5
-    # relative error — at the edge of the parity gate, opt-in only).
-    # Measured speed/parity tradeoff: docs/benchmarks.md.
-    TPU_MATMUL_PRECISION = "highest"
+    # Matmul precision for the pipeline's DFT/mel/DCT matmuls: "high"
+    # (default — bf16_3x passes on the MXU; measured feature NMSE vs the
+    # float64 oracle 1.2e-8, three orders inside the 1e-5 parity gate, and
+    # +27% end-to-end throughput on the offline signal path), "highest"
+    # (f32-accurate, NMSE 8e-11 — the strict-parity setting), "default"
+    # (one bf16 pass; NMSE ~7e-4 — FAILS the parity gate, opt-in only).
+    # Measured A/B: tools/precision_ab.py, docs/benchmarks.md. The fused
+    # Pallas kernel (streaming frames path) rounds "high" up to "highest"
+    # (Mosaic has no bf16_3x lowering), so this knob only affects the
+    # XLA-fused offline/view path.
+    TPU_MATMUL_PRECISION = "high"
     # DFT basis layout for the spectrum matmuls: "merged" (default — the
     # live cos/sin bins packed side by side into one (frame, n_fft) basis
     # whose lane dimension tiles the 128-wide MXU cleanly, with the

@@ -62,11 +62,14 @@ class FeatureConfig(NamedTuple):
     release_off: int = 2
     history_len: int = 256
     use_pallas: bool = True
-    # Matmul precision for the parity-critical DFT/mel/DCT matmuls:
-    # "highest" (f32-accurate, default), "high" (bf16_3x on TPU — ~f32
-    # quality at ~2x MXU rate), "default" (one bf16 pass — fastest, ~1e-5
-    # relative error; at the edge of the parity gate, opt-in only).
-    precision: str = "highest"
+    # Matmul precision for the DFT/mel/DCT matmuls: "high" (default —
+    # bf16_3x on the MXU; feature NMSE vs the float64 oracle 1.2e-8 on the
+    # offline view path, three orders inside the 1e-5 parity gate, +27%
+    # throughput at 14,400 s/call), "highest" (f32-accurate, NMSE 8e-11 —
+    # strict parity), "default" (one bf16 pass — NMSE ~7e-4, fails the
+    # gate; opt-in only). A/B: tools/precision_ab.py. The Pallas frames
+    # kernel rounds "high" up to "highest" (no Mosaic bf16_3x lowering).
+    precision: str = "high"
     # DFT basis layout for the spectrum matmuls: "merged" (default — live
     # cos/sin bins packed into one (frame, n_fft) basis, Nyquist bin as a
     # fused matvec; the lane dimension tiles the 128-wide MXU cleanly) or

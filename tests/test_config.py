@@ -144,7 +144,7 @@ def test_matmul_precision_knob():
     from sspv_tpu.config import Config
     from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
 
-    assert FeatureConfig.from_config(Config).precision == "highest"
+    assert FeatureConfig.from_config(Config).precision == "high"
     for name, want in [
         ("highest", jax.lax.Precision.HIGHEST),
         ("high", jax.lax.Precision.HIGH),
