@@ -108,7 +108,7 @@ def pitch_track(
     jax.jit,
     static_argnames=(
         "frame_size", "hop_size", "sample_rate", "fmin", "fmax",
-        "min_confidence", "acf_impl",
+        "min_confidence", "acf_impl", "precision",
     ),
 )
 def pitch_track_signal(
@@ -121,6 +121,7 @@ def pitch_track_signal(
     fmax: float = 400.0,
     min_confidence: float = 0.3,
     acf_impl: str = "dft",
+    precision: str = "high",
 ):
     """VAD-gated pitch track over a whole 1-D signal, entirely on device:
     streaming-style framing (full frames only, engine.py:240-242 semantics)
@@ -130,6 +131,12 @@ def pitch_track_signal(
     This is the scale path (BASELINE.json configs[2]: "autocorrelation
     pitch-period detection on VAD-gated voiced segments"), so the ACF
     defaults to the MXU matmul form.
+
+    ``precision`` ("high" default — bf16_3x MXU passes) governs the hop-
+    phase DFT/inverse matmuls only. Measured on chip vs "highest"
+    (f32-accurate): F0 decisions bit-identical over a full 3600 s track,
+    confidence perturbed <=8e-6 (docs/benchmarks.md pitch A/B), ~1.6x
+    faster. The frames-path ``pitch_from_frames`` keeps HIGHEST sums.
     """
     x = jnp.asarray(signal, dtype=jnp.float32)
     length = int(x.shape[0])
@@ -153,7 +160,11 @@ def pitch_track_signal(
         half = merged.shape[1] // 2
         rows = x[: (n + 1) * hop].reshape(n + 1, hop)
         top, bot = rows[:-1], rows[1:]
-        hp = jax.lax.Precision.HIGHEST
+        hp = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }.get(precision, jax.lax.Precision.HIGHEST)
         m = jnp.matmul(top, jnp.asarray(merged[:hop]), precision=hp,
                        preferred_element_type=jnp.float32) + jnp.matmul(
             bot, jnp.asarray(merged[hop:]), precision=hp,
