@@ -87,6 +87,15 @@ class FeatureConfig(NamedTuple):
     # is exact except at sub-f32-resolution threshold ties
     # (docs/benchmarks.md).
     vad_trailing_impl: str = "blocked"
+    # Offline signal-view decomposition (frame_size == 2*hop geometry):
+    # "frame_parity" (default — even-index frames are one contiguous
+    # (F/2, frame_size) reshape of the signal, odd-index frames another;
+    # every matmul contracts over the full frame_size, so K=320 tiles the
+    # 128-lane MXU at 83% vs 62.5% for the K=160 halves, and the features
+    # are computed with the exact frames-path math then interleaved) or
+    # "hop_phase" (top/bottom half-frame matmuls against split bases —
+    # the r2 layout). Neither materializes the 2x-duplicated frame matrix.
+    view_layout: str = "hop_phase"
 
     @classmethod
     def from_config(cls, config=None) -> "FeatureConfig":
@@ -120,6 +129,9 @@ class FeatureConfig(NamedTuple):
             ).lower(),
             vad_trailing_impl=str(
                 getattr(c, "TPU_VAD_TRAILING_IMPL", "blocked") or "blocked"
+            ).lower(),
+            view_layout=str(
+                getattr(c, "TPU_VIEW_LAYOUT", "hop_phase") or "hop_phase"
             ).lower(),
         )
 
@@ -241,6 +253,13 @@ class FeaturePipeline:
                 entropy_bases=(self._wc_ent, self._ws_ent),
                 precision=self._precision,
             )
+        return self._features_plain(x)
+
+    def _features_plain(self, x: jnp.ndarray) -> dict:
+        """Plain-JAX (XLA-fused) frames-path features — the canonical
+        reference-semantics math (engine.py:244-297 per-frame loop, batched);
+        also reused per parity by the frame-parity signal-view layout."""
+        c = self.cfg
         w = jnp.asarray(self._window)
         windowed = x * w
         energy = jnp.sum(windowed * windowed, axis=-1)
@@ -458,6 +477,36 @@ class FeaturePipeline:
     def _window_strictly_positive(self) -> bool:
         return bool(np.all(self._window > 0))
 
+    def _features_from_rows_parity(self, rows: jnp.ndarray) -> dict:
+        """Per-frame features from a ``(F+1, hop)`` signal view via the
+        frame-parity decomposition (50%-overlap geometry): even-index frames
+        are ``rows[:2*ne].reshape(ne, frame_size)`` — a contiguous view, no
+        duplicated samples — and odd-index frames
+        ``rows[1:2*no+1].reshape(no, frame_size)``. Each parity runs the
+        exact frames-path math (``_features_plain``) with the full
+        ``frame_size`` contraction dim (K=320 tiles the 128-lane MXU at 83%
+        vs 62.5% for the hop-phase K=160 halves), then the per-frame outputs
+        interleave back to frame order (tiny ``(F, 5+num_ceps)``-scale
+        relayouts, not the ``(F, n_fft)`` spectra)."""
+        x = jnp.asarray(rows, dtype=jnp.float32)
+        hop = self.cfg.hop_size
+        f = int(x.shape[0]) - 1
+        ne = (f + 1) // 2
+        no = f // 2
+        fa = self._features_plain(x[: 2 * ne].reshape(ne, 2 * hop))
+        if no == 0:
+            return fa
+        fb = self._features_plain(x[1 : 2 * no + 1].reshape(no, 2 * hop))
+        out = {}
+        for k, va in fa.items():
+            vb = fb[k]
+            if no < ne:
+                vb = jnp.pad(vb, ((0, ne - no),) + ((0, 0),) * (vb.ndim - 1))
+            out[k] = jnp.stack([va, vb], axis=1).reshape(
+                (2 * ne,) + va.shape[1:]
+            )[:f]
+        return out
+
     def _features_from_rows(self, rows: jnp.ndarray) -> dict:
         """Per-frame features from a ``(F+1, hop)`` signal view, for the
         50%-overlap geometry (frame_size == 2*hop): frame i is
@@ -471,6 +520,8 @@ class FeaturePipeline:
         (sign(x*w) == sign(x)); the hop-phase sums reassociate float adds vs
         the frames path at the ~1e-7 relative level.
         """
+        if self.cfg.view_layout == "frame_parity":
+            return self._features_from_rows_parity(rows)
         c = self.cfg
         hop = c.hop_size
         x = jnp.asarray(rows, dtype=jnp.float32)
