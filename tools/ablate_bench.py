@@ -102,7 +102,7 @@ def main(argv):
                     # (merged by default since r3); "spectrum_pair" = the two
                     # narrow (hop, n_bins) bases layout it replaced
                     top, bot = rb[:-1], rb[1:]
-                    hi = jax.lax.Precision.HIGHEST
+                    hi = pipe._precision
                     wm, wnyq, wc, ws = pipe._spectrum_bases("mfcc")
                     if stage == "spectrum" and wm is not None:
                         half = wm.shape[1] // 2
@@ -161,7 +161,7 @@ def main(argv):
         }
 
     base = FeaturePipeline(FeatureConfig())
-    run_full(base, "full_highest")
+    run_full(base, "full_default")  # shipped config (precision="high" since r3)
     run_stage(base, "spectrum", "spectrum_only")
     run_stage(base, "spectrum_pair", "spectrum_pair_only")
     run_stage(base, "features", "features_no_vad")
@@ -175,7 +175,7 @@ def main(argv):
 
     # precision variants via the FeatureConfig knob: retrace, measure,
     # and report parity headroom
-    for prec in ("high", "default"):
+    for prec in ("highest", "default"):
         pipe = FeaturePipeline(FeatureConfig(precision=prec))
         run_full(pipe, f"full_{prec}", parity(pipe))
 

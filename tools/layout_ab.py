@@ -48,7 +48,7 @@ def main(argv) -> int:
     pipes = {v: FeaturePipeline(FeatureConfig(view_layout=v)) for v in variants}
 
     # warm + view-path oracle parity on the first 600 s of the timed block
-    view_s = 600
+    view_s = min(600, int(seconds))
     vf = 1 + (view_s * sr - 320) // 160
     want_v = _oracle_features(sig_np[: view_s * sr])
     nmse = {}
