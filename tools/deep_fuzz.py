@@ -1,4 +1,5 @@
-# One-off deep fuzz: 300 random VAD configs + 60 random geometries vs oracle.
+# Deep fuzz: N random VAD configs + M random geometries vs oracle.
+# Usage: python tools/deep_fuzz.py [n_vad=300] [n_geom=60]
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 import sys
@@ -11,8 +12,11 @@ import jax.numpy as jnp
 from sspv_tpu.ops import vad as vad_ops
 import oracle
 
+N_VAD = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+N_GEOM = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+
 fails = 0
-for seed in range(300):
+for seed in range(N_VAD):
     rng = np.random.default_rng(seed)
     n = int(rng.integers(5, 300))
     e = rng.uniform(0, 3e6, n).astype(np.float32)
@@ -32,13 +36,13 @@ for seed in range(300):
     if not (np.array_equal(np.asarray(gv), wv) and np.array_equal(np.asarray(ga), wa)):
         print("VAD MISMATCH seed", seed, dict(on=on, off=off, alpha=alpha, use_ad=use_ad))
         fails += 1
-print(f"vad fuzz: {300-fails}/300 exact", flush=True)
+print(f"vad fuzz: {N_VAD-fails}/{N_VAD} exact", flush=True)
 
 # geometry sweep on features
 from sspv_tpu import ops
 from sspv_tpu.ops.windows import get_window
 g_fails = 0
-for seed in range(60):
+for seed in range(N_GEOM):
     rng = np.random.default_rng(1000+seed)
     frame = int(rng.integers(64, 600)); hop = int(rng.integers(16, frame))
     n_fft = int(2 ** rng.integers(7, 11)); mels = int(rng.integers(10, 48))
@@ -57,4 +61,4 @@ for seed in range(60):
     wm = oracle.mfcc(frames, sr, n_fft=n_fft, num_filters=mels, num_ceps=13)
     if np.mean((gm - wm) ** 2) / max(np.mean(wm ** 2), 1e-12) > 1e-5:
         print("MFCC MISMATCH", seed, frame, hop, n_fft, mels, sr); g_fails += 1
-print(f"geometry fuzz: {60-g_fails}/60 within gates", flush=True)
+print(f"geometry fuzz: {N_GEOM-g_fails}/{N_GEOM} within gates", flush=True)
