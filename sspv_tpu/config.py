@@ -141,6 +141,12 @@ class Config:
     # reductions reassociate at ~3e-7 relative); "merged" requires even
     # n_fft and falls back to "pair" otherwise. Measured: docs/benchmarks.md.
     TPU_DFT_LAYOUT = "merged"
+    # Signal-view matmul layout: "hop_phase" (default — even/odd hop-phase
+    # views each matmul against a half-basis, measured fastest) or
+    # "frame_parity" (two contiguous reshapes giving full-K matmuls with no
+    # duplicated samples; measured 45% slower at 14,400 s/call but kept as
+    # an opt-in for other geometries). A/B data: docs/benchmarks.md.
+    TPU_VIEW_LAYOUT = "hop_phase"
     # Adaptive-VAD trailing-history sums: "blocked" (two-level block
     # cumsums, default) or "conv" (ones-kernel convolution, the original
     # formulation; "blocked" falls back to it when the block length is not

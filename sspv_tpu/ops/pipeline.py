@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import bases, vad as vad_ops
-from .preprocessing import frame_signal
+from .precision import resolve as _resolve_precision
+from .preprocessing import frame_signal, stream_frames
 from .frequency_features import entropy_from_power
 
 __all__ = ["FeatureConfig", "FeatureBlock", "FeaturePipeline"]
@@ -192,11 +193,7 @@ class FeaturePipeline:
         self._dct = bases.dct_ortho_matrix(c.num_filters, c.num_ceps)
         self._lifter = bases.lifter_vector(c.num_ceps, c.lifter)
 
-        self._precision = {
-            "highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
-            "default": jax.lax.Precision.DEFAULT,
-        }.get(c.precision, jax.lax.Precision.HIGHEST)
+        self._precision = _resolve_precision(c.precision)
         self._use_pallas = bool(c.use_pallas) and _pallas_available()
         # Every jitted callable is created here (never lazily on first call):
         # the compiled-function inventory stays auditable in one place and a
@@ -454,25 +451,9 @@ class FeaturePipeline:
 
     def _device_stream_frames(self, signal: jnp.ndarray) -> jnp.ndarray:
         """Streaming-style framing ON DEVICE: only full frames, no padding
-        (engine.py:240-242 semantics), via the strided-reshape fast path so
-        XLA emits copies instead of a gather."""
-        c = self.cfg
-        length = int(signal.shape[0])
-        if length < c.frame_size:
-            return jnp.zeros((0, c.frame_size), dtype=jnp.float32)
-        n = 1 + (length - c.frame_size) // c.hop_size
-        x = jnp.asarray(signal, dtype=jnp.float32)
-        if c.frame_size % c.hop_size == 0:
-            # frame i = rows i..i+k-1 of the (hops, hop) view; by construction
-            # of n, (n-1+k)*hop = (n-1)*hop + frame_size <= length.
-            k = c.frame_size // c.hop_size
-            rows = x[: (n - 1 + k) * c.hop_size].reshape(n - 1 + k, c.hop_size)
-            return jnp.concatenate([rows[i : i + n] for i in range(k)], axis=1)
-        idx = (
-            np.arange(c.frame_size)[None, :]
-            + np.arange(n)[:, None] * c.hop_size
-        ).astype(np.int32)
-        return x[jnp.asarray(idx)]
+        (engine.py:240-242 semantics) — shared impl in
+        ``preprocessing.stream_frames``."""
+        return stream_frames(signal, self.cfg.frame_size, self.cfg.hop_size)
 
     def _window_strictly_positive(self) -> bool:
         return bool(np.all(self._window > 0))

@@ -23,6 +23,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .precision import resolve as _resolve_precision
+from .preprocessing import stream_frames
 from .time_features import (
     _acf_dft_bases_merged,
     autocorrelation_via_dft,
@@ -160,11 +162,7 @@ def pitch_track_signal(
         half = merged.shape[1] // 2
         rows = x[: (n + 1) * hop].reshape(n + 1, hop)
         top, bot = rows[:-1], rows[1:]
-        hp = {
-            "highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
-            "default": jax.lax.Precision.DEFAULT,
-        }.get(precision, jax.lax.Precision.HIGHEST)
+        hp = _resolve_precision(precision)
         m = jnp.matmul(top, jnp.asarray(merged[:hop]), precision=hp,
                        preferred_element_type=jnp.float32) + jnp.matmul(
             bot, jnp.asarray(merged[hop:]), precision=hp,
@@ -181,20 +179,7 @@ def pitch_track_signal(
         f0, conf = _band_peak_pick(acf, lag_min, lag_max, sample_rate)
         gate = (jnp.asarray(vad) > 0) & (conf >= jnp.float32(min_confidence))
         return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
-    if frame_size % hop_size == 0:
-        # strided-reshape framing (no index-matrix gather): frame i is rows
-        # i..i+k-1 of the (hops, hop_size) view
-        k = frame_size // hop_size
-        rows = x[: (n - 1 + k) * hop_size].reshape(n - 1 + k, hop_size)
-        frames = jnp.concatenate([rows[i : i + n] for i in range(k)], axis=1)
-    else:
-        import numpy as np
-
-        idx = (
-            np.arange(frame_size)[None, :]
-            + np.arange(n)[:, None] * hop_size
-        ).astype(np.int32)
-        frames = x[jnp.asarray(idx)]
+    frames = stream_frames(x, frame_size, hop_size)
     return pitch_track(
         frames, vad, sample_rate, fmin, fmax, min_confidence, acf_impl
     )

@@ -25,7 +25,13 @@ import numpy as np
 
 from .windows import get_window
 
-__all__ = ["preemphasis", "num_frames_for", "frame_signal", "framing"]
+__all__ = [
+    "preemphasis",
+    "num_frames_for",
+    "frame_signal",
+    "stream_frames",
+    "framing",
+]
 
 
 def preemphasis(signal: jnp.ndarray, alpha: float = 0.97) -> jnp.ndarray:
@@ -77,6 +83,37 @@ def frame_signal(signal: jnp.ndarray, frame_size: int, hop_size: int) -> jnp.nda
     idx = (
         np.tile(np.arange(frame_size), (n, 1))
         + np.arange(0, n * hop_size, hop_size)[:, None]
+    ).astype(np.int32)
+    return x[jnp.asarray(idx)]
+
+
+def stream_frames(
+    signal: jnp.ndarray, frame_size: int, hop_size: int
+) -> jnp.ndarray:
+    """Streaming-style framing: only FULL frames, no tail zero-padding
+    (the live engine's rule, reference engine.py:240-242 — distinct from
+    ``frame_signal``'s padded batch contract, preprocessing.py:75-76).
+
+    Uses the strided-reshape fast path when ``frame_size % hop_size == 0``
+    (XLA emits copies, not a gather); shared by the pipeline's on-device
+    streaming path and the signal-level pitch tracker.
+
+    Returns ``(num_full_frames, frame_size)`` float32.
+    """
+    x = jnp.asarray(signal, dtype=jnp.float32)
+    length = int(x.shape[0])
+    if length < frame_size or frame_size <= 0 or hop_size <= 0:
+        return jnp.zeros((0, max(frame_size, 0)), dtype=jnp.float32)
+    n = 1 + (length - frame_size) // hop_size
+    if frame_size % hop_size == 0:
+        # frame i = rows i..i+k-1 of the (hops, hop) view; by construction
+        # of n, (n-1+k)*hop = (n-1)*hop + frame_size <= length.
+        k = frame_size // hop_size
+        rows = x[: (n - 1 + k) * hop_size].reshape(n - 1 + k, hop_size)
+        return jnp.concatenate([rows[i : i + n] for i in range(k)], axis=1)
+    idx = (
+        np.arange(frame_size)[None, :]
+        + np.arange(n)[:, None] * hop_size
     ).astype(np.int32)
     return x[jnp.asarray(idx)]
 

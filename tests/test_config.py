@@ -152,3 +152,21 @@ def test_matmul_precision_knob():
         ("garbage", jax.lax.Precision.HIGHEST),  # unknown -> safe default
     ]:
         assert FeaturePipeline(FeatureConfig(precision=name))._precision == want
+
+
+def test_view_layout_knob_reaches_pipeline(monkeypatch):
+    """RTP_TPU_VIEW_LAYOUT must flow env -> Config -> FeatureConfig (r3
+    regression: the attr was missing from Config so the documented knob was
+    silently inert)."""
+    from sspv_tpu.config import Config
+    from sspv_tpu.ops.pipeline import FeatureConfig
+
+    orig = Config.TPU_VIEW_LAYOUT
+    try:
+        assert FeatureConfig.from_config(Config).view_layout == "hop_phase"
+        monkeypatch.setenv("RTP_TPU_VIEW_LAYOUT", "frame_parity")
+        Config.load_from_env("RTP_")
+        assert Config.TPU_VIEW_LAYOUT == "frame_parity"
+        assert FeatureConfig.from_config(Config).view_layout == "frame_parity"
+    finally:
+        Config.TPU_VIEW_LAYOUT = orig

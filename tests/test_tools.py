@@ -41,6 +41,41 @@ def test_soak_report_parses_and_fits(tmp_path):
     assert rep["steady_samples_with_frames"] == rep["steady_samples"]
 
 
+def test_soak_report_mixed_format_log(tmp_path):
+    """A log appended across restarts (early rows predate the calls= field)
+    must fit MB/call only over the rows that carry calls, pairwise-aligned
+    (r3 regression: rss[-len(calls):] paired calls with wrong timestamps)."""
+    lines = []
+    # old-format prefix: RSS climbing with NO calls field
+    rss = 100.0
+    for i in range(10):
+        t = 5.0 * (i + 1)
+        rss += 3.0  # steep old-run slope that must NOT pollute the fit
+        lines.append(f"t={t:6.1f}s rss={rss:7.1f}MB recent_frames=50 err=None")
+    # new-format tail: 0.5 MB/call, 2 calls per sample
+    calls = 0
+    for i in range(20):
+        t = 5.0 * (11 + i)
+        calls += 2
+        rss += 1.0
+        lines.append(
+            f"t={t:6.1f}s rss={rss:7.1f}MB calls={calls} "
+            f"recent_frames=50 err=None"
+        )
+    log = tmp_path / "soak.log"
+    log.write_text("\n".join(lines) + "\n")
+    out = subprocess.run(
+        [sys.executable, "tools/soak_report.py", str(log), "--settle", "0"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    rep = json.loads(out.stdout)
+    assert rep["device_calls"] == 40
+    assert abs(rep["rss_mb_per_call"] - 0.5) < 0.01
+    # 2 calls / 5 s sample
+    assert abs(rep["calls_per_s"] - 0.4) < 0.01
+
+
 def test_soak_report_no_frames(tmp_path):
     log = tmp_path / "soak.log"
     log.write_text(

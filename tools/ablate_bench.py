@@ -161,14 +161,16 @@ def main(argv):
         }
 
     base = FeaturePipeline(FeatureConfig())
-    run_full(base, "full_default")  # shipped config (precision="high" since r3)
+    # shipped config (precision="high" since r3); named "full_shipped" so it
+    # cannot collide with the precision="default" variant below
+    run_full(base, "full_shipped")
     run_stage(base, "spectrum", "spectrum_only")
     run_stage(base, "spectrum_pair", "spectrum_pair_only")
     run_stage(base, "features", "features_no_vad")
     run_stage(base, "vad", "features_plus_vad")
 
     # DFT basis layout A/B: the shipped default is "merged" (one MXU-tiled
-    # (frame, n_fft) basis + Nyquist matvec, inside full_highest above);
+    # (frame, n_fft) basis + Nyquist matvec, inside full_shipped above);
     # "pair" is the two-(frame, 257)-bases layout it replaced
     pair = FeaturePipeline(FeatureConfig(dft_layout="pair"))
     run_full(pair, "full_dft_pair", parity(pair))

@@ -90,13 +90,20 @@ def main(argv):
         "errors": errors,
         **({"verdict": verdict} if verdict else {}),
     }
-    calls = [r[2] for r in steady if r[2] is not None]
-    if len(calls) >= 3 and calls[-1] > calls[0]:
-        mb_per_call, _ = fit(calls, rss[-len(calls):])
-        out["device_calls"] = calls[-1]
-        out["calls_per_s"] = round(
-            (calls[-1] - calls[0]) / (ts[-1] - ts[-len(calls)]), 3
-        )
+    # Pairwise-filter rows that carry the calls field: a mixed-format log
+    # (e.g. appended across restarts where early rows predate `calls=`) must
+    # not pair call counts against RSS samples from other timestamps.
+    with_calls = [r for r in steady if r[2] is not None]
+    if len(with_calls) >= 3 and with_calls[-1][2] > with_calls[0][2]:
+        c_ts = [r[0] for r in with_calls]
+        c_rss = [r[1] for r in with_calls]
+        c_calls = [r[2] for r in with_calls]
+        mb_per_call, _ = fit(c_calls, c_rss)
+        out["device_calls"] = c_calls[-1]
+        if c_ts[-1] > c_ts[0]:
+            out["calls_per_s"] = round(
+                (c_calls[-1] - c_calls[0]) / (c_ts[-1] - c_ts[0]), 3
+            )
         out["rss_mb_per_call"] = round(mb_per_call, 5)
     print(json.dumps(out))
     return 0
