@@ -147,6 +147,13 @@ class Config:
     # duplicated samples; measured 45% slower at 14,400 s/call but kept as
     # an opt-in for other geometries). A/B data: docs/benchmarks.md.
     TPU_VIEW_LAYOUT = "hop_phase"
+    # Fused Pallas kernel for the signal-view path (1 = on): keeps the DFT
+    # output and power spectrum in VMEM (the XLA path round-trips ~11 GB of
+    # HBM intermediates per 4 h call) with manual 3-pass bf16 matmuls.
+    # Opt-in pending the on-chip A/B; needs the 50%-overlap geometry, even
+    # n_fft, one shared spectrum and a strictly positive window — other
+    # configs silently use the XLA view path. See ops/pallas_view.py.
+    TPU_VIEW_KERNEL = 0
     # Adaptive-VAD trailing-history sums: "blocked" (two-level block
     # cumsums, default) or "conv" (ones-kernel convolution, the original
     # formulation; "blocked" falls back to it when the block length is not
@@ -243,6 +250,16 @@ class Config:
         logging.info("thread sleep: %.4fs", Config.THREAD_SLEEP_TIME)
         logging.info("save directory: %s", Config.SAVE_DIRECTORY)
         logging.info("log level: %s", Config.LOG_LEVEL)
+        logging.info(
+            "tpu: precision=%s, dft_layout=%s, view_layout=%s, "
+            "view_kernel=%d, vad_impl=%s, samples_dispatch=%d",
+            Config.TPU_MATMUL_PRECISION,
+            Config.TPU_DFT_LAYOUT,
+            Config.TPU_VIEW_LAYOUT,
+            Config.TPU_VIEW_KERNEL,
+            Config.TPU_VAD_TRAILING_IMPL,
+            Config.TPU_STREAM_SAMPLES_DISPATCH,
+        )
 
     # Names of the data attributes eligible for env/YAML override: every
     # ALL-CAPS class attribute. Computed fresh each call so attributes added

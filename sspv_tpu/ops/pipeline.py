@@ -89,14 +89,21 @@ class FeatureConfig(NamedTuple):
     # (docs/benchmarks.md).
     vad_trailing_impl: str = "blocked"
     # Offline signal-view decomposition (frame_size == 2*hop geometry):
-    # "frame_parity" (default — even-index frames are one contiguous
-    # (F/2, frame_size) reshape of the signal, odd-index frames another;
-    # every matmul contracts over the full frame_size, so K=320 tiles the
-    # 128-lane MXU at 83% vs 62.5% for the K=160 halves, and the features
-    # are computed with the exact frames-path math then interleaved) or
-    # "hop_phase" (top/bottom half-frame matmuls against split bases —
-    # the r2 layout). Neither materializes the 2x-duplicated frame matrix.
+    # "hop_phase" (default — top/bottom half-frame matmuls against split
+    # bases; measured fastest end-to-end) or "frame_parity" (even-index
+    # frames as one contiguous (F/2, frame_size) reshape of the signal,
+    # odd-index frames another; full-K matmuls tile the MXU at 83% vs
+    # 62.5% but measured 45% slower at 14,400 s/call — opt-in). Neither
+    # materializes the 2x-duplicated frame matrix.
     view_layout: str = "hop_phase"
+    # Fused Pallas kernel for the signal-view path (ops/pallas_view.py):
+    # keeps the (F, n_fft) DFT output / power spectrum in VMEM instead of
+    # round-tripping them through HBM, with manual 3-pass bf16 matmuls
+    # standing in for XLA's "high". Opt-in pending on-chip A/B; requires
+    # the 50%-overlap geometry, even n_fft, a shared entropy spectrum and
+    # a strictly positive window (falls back to the XLA view path
+    # otherwise, and is only engaged on the TPU backend).
+    view_kernel: bool = False
 
     @classmethod
     def from_config(cls, config=None) -> "FeatureConfig":
@@ -134,6 +141,7 @@ class FeatureConfig(NamedTuple):
             view_layout=str(
                 getattr(c, "TPU_VIEW_LAYOUT", "hop_phase") or "hop_phase"
             ).lower(),
+            view_kernel=bool(getattr(c, "TPU_VIEW_KERNEL", False)),
         )
 
 
@@ -195,6 +203,17 @@ class FeaturePipeline:
 
         self._precision = _resolve_precision(c.precision)
         self._use_pallas = bool(c.use_pallas) and _pallas_available()
+        # Fused signal-view kernel (ops/pallas_view.py): opt-in, and only
+        # where its geometry contract holds — otherwise the XLA view path
+        # serves (see FeatureConfig.view_kernel).
+        self._use_view_kernel = (
+            bool(c.view_kernel)
+            and _pallas_available()
+            and c.frame_size == 2 * c.hop_size
+            and self._wm is not None
+            and self._wc_ent is None
+            and bool(np.all(self._window > 0))
+        )
         # Every jitted callable is created here (never lazily on first call):
         # the compiled-function inventory stays auditable in one place and a
         # first call racing from two threads can't jit the same impl twice.
@@ -501,6 +520,18 @@ class FeaturePipeline:
         (sign(x*w) == sign(x)); the hop-phase sums reassociate float adds vs
         the frames path at the ~1e-7 relative level.
         """
+        if self._use_view_kernel:
+            from .pallas_view import fused_view_features
+
+            return fused_view_features(
+                rows,
+                wm=self._wm,
+                wnyq=self._wnyq,
+                fb_t=self._fb_t,
+                dct=self._dct,
+                lifter=self._lifter,
+                window=self._window,
+            )
         if self.cfg.view_layout == "frame_parity":
             return self._features_from_rows_parity(rows)
         c = self.cfg

@@ -161,12 +161,15 @@ def test_view_layout_knob_reaches_pipeline(monkeypatch):
     from sspv_tpu.config import Config
     from sspv_tpu.ops.pipeline import FeatureConfig
 
-    orig = Config.TPU_VIEW_LAYOUT
+    orig = (Config.TPU_VIEW_LAYOUT, Config.TPU_VIEW_KERNEL)
     try:
         assert FeatureConfig.from_config(Config).view_layout == "hop_phase"
+        assert FeatureConfig.from_config(Config).view_kernel is False
         monkeypatch.setenv("RTP_TPU_VIEW_LAYOUT", "frame_parity")
+        monkeypatch.setenv("RTP_TPU_VIEW_KERNEL", "1")
         Config.load_from_env("RTP_")
         assert Config.TPU_VIEW_LAYOUT == "frame_parity"
         assert FeatureConfig.from_config(Config).view_layout == "frame_parity"
+        assert FeatureConfig.from_config(Config).view_kernel is True
     finally:
-        Config.TPU_VIEW_LAYOUT = orig
+        Config.TPU_VIEW_LAYOUT, Config.TPU_VIEW_KERNEL = orig

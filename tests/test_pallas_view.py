@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Fused signal-view Pallas kernel parity (interpreter mode on CPU) against
+the XLA hop-phase view path and the NumPy oracle.
+
+The kernel's matmuls run a MANUAL 3-pass bf16 split (ops/pallas_view.py), so
+parity vs the float64 oracle is gated at the same order the XLA "high"
+(bf16_3x) path measures on chip (~1e-8 NMSE), well inside the 1e-5 contract.
+"""
+
+import numpy as np
+
+from sspv_tpu.ops import bases
+from sspv_tpu.ops.pallas_view import fused_view_features
+from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
+from sspv_tpu.ops.windows import hamming_window
+
+import oracle
+
+
+def _nmse(got, want):
+    got, want = np.asarray(got, np.float64), np.asarray(want, np.float64)
+    return np.mean((got - want) ** 2) / max(np.mean(want**2), 1e-12)
+
+
+def _rows(signal: np.ndarray, hop: int = 160) -> np.ndarray:
+    n = 1 + (len(signal) - 2 * hop) // hop
+    return signal[: (n + 1) * hop].astype(np.float32).reshape(n + 1, hop)
+
+
+def _kernel_kwargs(frame_size=320, n_fft=512):
+    wm, wnyq = bases.merged_windowed_dft_bases(frame_size, n_fft, "hamming")
+    return dict(
+        wm=wm,
+        wnyq=wnyq,
+        fb_t=bases.mel_filterbank_np(26, n_fft, 16000).T.copy(),
+        dct=bases.dct_ortho_matrix(26, 13),
+        lifter=bases.lifter_vector(13, 22),
+        window=hamming_window(frame_size),
+    )
+
+
+def test_view_kernel_matches_oracle():
+    rng = np.random.default_rng(7)
+    sig = rng.normal(0, 3000, 160 * 801).astype(np.float32)  # 800 frames
+    rows = _rows(sig)
+    out = fused_view_features(rows, **_kernel_kwargs())
+
+    w = hamming_window(320)
+    frames = oracle.framing(sig[: 160 * 801], 320, 160, w)[: rows.shape[0] - 1]
+    assert out["energy"].shape == (800,)
+    assert out["mfcc"].shape == (800, 13)
+    assert _nmse(out["energy"], oracle.short_time_energy(frames)) < 1e-7
+    np.testing.assert_allclose(
+        np.asarray(out["zcr"]), oracle.zero_crossing_rate(frames), atol=1e-6
+    )
+    # 3-pass bf16 DFT/mel/DCT: same order as the on-chip "high" path
+    assert _nmse(out["mfcc"], oracle.mfcc(frames, 16000, lifter=22)) < 1e-7
+    assert _nmse(out["entropy"], oracle.spectral_entropy(frames, 512)) < 1e-7
+
+
+def test_view_kernel_matches_xla_view_path():
+    """Same rows through the kernel and through the shipped XLA hop-phase
+    path; both approximate f32 with 3-pass bf16 matmuls, so they agree to
+    the split's reconstruction error."""
+    rng = np.random.default_rng(13)
+    sig = rng.normal(0, 500, 160 * 513).astype(np.float32)
+    rows = _rows(sig)
+    got = fused_view_features(rows, **_kernel_kwargs())
+    pipe = FeaturePipeline(FeatureConfig(precision="high"))
+    want = pipe._features_from_rows(rows)
+    for k in ("energy", "zcr", "entropy", "mfcc"):
+        assert _nmse(got[k], want[k]) < 1e-7, k
+
+
+def test_view_kernel_small_and_padded_batches():
+    rng = np.random.default_rng(21)
+    for n_frames in (1, 3, 511, 513):
+        sig = rng.normal(0, 1000, 160 * (n_frames + 1)).astype(np.float32)
+        out = fused_view_features(_rows(sig), **_kernel_kwargs())
+        assert out["energy"].shape == (n_frames,)
+        assert np.all(np.isfinite(np.asarray(out["mfcc"])))
+
+
+def test_pipeline_integration_and_vad_agreement():
+    """The full signal pipeline with the view kernel forced on (the CPU
+    backend gate is bypassed to exercise interpreter mode) must agree with
+    the shipped XLA pipeline on features and VAD decisions."""
+    from sspv_tpu.config import Config
+
+    sr = Config.SAMPLE_RATE
+    t = np.arange(12 * sr) / sr
+    rng = np.random.default_rng(3)
+    sig = rng.normal(0, 40, t.size).astype(np.float32)
+    voiced = ((t * 2).astype(int) % 4) == 1
+    sig = np.where(voiced, 6000 * np.sin(2 * np.pi * 130 * t), sig).astype(
+        np.float32
+    )
+
+    ref_pipe = FeaturePipeline(FeatureConfig())
+    want, _ = ref_pipe.process_signal(sig)
+
+    pipe = FeaturePipeline(FeatureConfig(view_kernel=True))
+    # CPU backend: _use_view_kernel gates on TPU; force it so the suite
+    # exercises the kernel in interpreter mode end-to-end.
+    pipe._use_view_kernel = True
+    got, _ = pipe.process_signal(sig)
+
+    for k in ("energy", "zcr", "entropy", "mfcc"):
+        assert _nmse(getattr(got, k), getattr(want, k)) < 1e-7, k
+    # decisions: identical except possibly at sub-f32 threshold ties
+    agree = np.mean(np.asarray(got.vad) == np.asarray(want.vad))
+    assert agree >= 0.999, agree
+    agree_a = np.mean(
+        np.asarray(got.vad_adaptive) == np.asarray(want.vad_adaptive)
+    )
+    assert agree_a >= 0.999, agree_a
+
+
+def test_view_kernel_geometry_gating():
+    """Unsupported geometries must leave the kernel off (XLA fallback), even
+    with the knob set."""
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    # 50%-overlap geometry violated
+    p = FeaturePipeline(
+        FeatureConfig(view_kernel=True, frame_size=300, hop_size=160)
+    )
+    assert p._use_view_kernel is False
+    # distinct entropy spectrum
+    p = FeaturePipeline(FeatureConfig(view_kernel=True, entropy_n_fft=256))
+    assert p._use_view_kernel is False
+    # supported geometry: on only when the backend is TPU
+    p = FeaturePipeline(FeatureConfig(view_kernel=True))
+    assert p._use_view_kernel is on_tpu

@@ -181,6 +181,12 @@ def main(argv):
         pipe = FeaturePipeline(FeatureConfig(precision=prec))
         run_full(pipe, f"full_{prec}", parity(pipe))
 
+    # Fused signal-view Pallas kernel (ops/pallas_view.py; opt-in knob,
+    # engages on the TPU backend only — skipped silently elsewhere)
+    vk = FeaturePipeline(FeatureConfig(view_kernel=True))
+    if vk._use_view_kernel:
+        run_full(vk, "full_viewkernel", parity(vk))
+
     # scan-block sensitivity
     for blk in (16384, 65536):
         old_b = FeaturePipeline.SCAN_BLOCK_FRAMES

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""A/B: shipped XLA signal-view path vs the fused Pallas view kernel.
+
+    python tools/viewkernel_ab.py [seconds] [reps]   # default 14400, 8
+
+Interleaves warm measurements of the two programs (same process, same
+tunnel phase) at the bench call length and prints one JSON line per leg:
+pipelined per-call time, x-real-time, and feature NMSE vs the NumPy oracle
+on a 30 s slice (the kernel must stay inside the 1e-5 gate to be adoptable).
+
+The kernel keeps the DFT output / power spectrum in VMEM instead of
+round-tripping ~11 GB of HBM intermediates per 4 h call, with manual
+3-pass bf16 matmuls standing in for XLA's "high" — see ops/pallas_view.py.
+First run compiles both programs through the remote service (minutes each);
+results persist in .jax_cache.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv):
+    seconds = float(argv[0]) if argv else 14400.0
+    reps = int(argv[1]) if len(argv) > 1 else 8
+    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, "/root/repo/tests")
+    import jax
+    import jax.numpy as jnp
+
+    from sspv_tpu.utils.cache import enable_persistent_cache
+    from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
+
+    enable_persistent_cache("/root/repo/.jax_cache")
+
+    from bench import synth_signal, _oracle_features, _nmse
+
+    sr = 16000
+    sig_np = synth_signal(seconds, sr)
+    sig = jax.device_put(jnp.asarray(sig_np))
+    sub = sig_np[: 30 * sr]
+    want = _oracle_features(sub)
+
+    def parity(pipe):
+        got, _ = pipe.process_signal(sub)
+        return {
+            "nmse_max": float(f"{max(_nmse(got.energy, want['energy']), _nmse(got.zcr, want['zcr']), _nmse(got.entropy, want['entropy']), _nmse(got.mfcc, want['mfcc'])):.3e}")
+        }
+
+    def measure(pipe, name, extra=None):
+        state0 = pipe.initial_state()
+        block, _ = pipe.process_signal_device(sig, state0)  # compile/warm
+        jax.block_until_ready(block)
+        _ = int(jax.device_get(block.vad[-1]))
+        tails = []
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            block, _ = pipe.process_signal_device(sig, state0)
+            tails.append(block.vad[-1])
+        _ = int(jax.device_get(jnp.stack(tails).sum()))
+        per = (time.perf_counter() - t0) / reps
+        print(json.dumps({
+            "variant": name,
+            "time_s": round(per, 5),
+            "audio_x_realtime": round(seconds / per, 1),
+            **(extra or {}),
+        }), flush=True)
+        return per
+
+    shipped = FeaturePipeline(FeatureConfig())
+    kernel = FeaturePipeline(FeatureConfig(view_kernel=True))
+    if not kernel._use_view_kernel:
+        print(json.dumps({
+            "error": "view kernel not engaged (non-TPU backend or geometry)",
+            "backend": jax.default_backend(),
+        }))
+        return 1
+
+    # interleave: shipped, kernel, shipped, kernel — same-phase pairs
+    a1 = measure(shipped, "xla_view_shipped", parity(shipped))
+    b1 = measure(kernel, "pallas_view_kernel", parity(kernel))
+    a2 = measure(shipped, "xla_view_shipped_rep2")
+    b2 = measure(kernel, "pallas_view_kernel_rep2")
+    print(json.dumps({
+        "summary": "pallas_view vs shipped",
+        "speedup_best": round(min(a1, a2) / min(b1, b2), 3),
+        "backend": jax.default_backend(),
+        "seconds_per_call": seconds,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
