@@ -116,6 +116,48 @@ def test_pipeline_integration_and_vad_agreement():
     assert agree_a >= 0.999, agree_a
 
 
+def test_view_kernel_other_geometries():
+    """The kernel is parametric in n_fft / mel filters / cepstra; fuzz a few
+    non-default shapes against the oracle (n_fft >= frame_size and even —
+    the merged-basis contract)."""
+    rng = np.random.default_rng(31)
+    sr = 16000
+    for n_fft, n_filt, n_ceps in ((320, 26, 13), (1024, 40, 20), (512, 20, 8)):
+        sig = rng.normal(0, 2500, 160 * 65).astype(np.float32)
+        rows = _rows(sig)
+        wm, wnyq = bases.merged_windowed_dft_bases(320, n_fft, "hamming")
+        out = fused_view_features(
+            rows,
+            wm=wm,
+            wnyq=wnyq,
+            fb_t=bases.mel_filterbank_np(n_filt, n_fft, sr).T.copy(),
+            dct=bases.dct_ortho_matrix(n_filt, n_ceps),
+            lifter=bases.lifter_vector(n_ceps, 22),
+            window=hamming_window(320),
+        )
+        w = hamming_window(320)
+        frames = oracle.framing(sig[: 160 * 65], 320, 160, w)[: rows.shape[0] - 1]
+        want = oracle.mfcc(
+            frames, sr, n_fft=n_fft, num_filters=n_filt, num_ceps=n_ceps,
+            lifter=22,
+        )
+        key = (n_fft, n_filt, n_ceps)
+        assert out["mfcc"].shape == (64, n_ceps), key
+        assert _nmse(out["mfcc"], want) < 1e-7, key
+        assert _nmse(
+            out["entropy"], oracle.spectral_entropy(frames, n_fft)
+        ) < 1e-7, key
+
+
+def test_view_kernel_gated_off_for_hanning():
+    """hanning has zero endpoints (not strictly positive), so the raw-sign
+    ZCR identity fails and the kernel must stay off."""
+    p = FeaturePipeline(
+        FeatureConfig(view_kernel=True, window_type="hanning")
+    )
+    assert p._use_view_kernel is False
+
+
 def test_view_kernel_geometry_gating():
     """Unsupported geometries must leave the kernel off (XLA fallback), even
     with the knob set."""
