@@ -54,7 +54,7 @@ except Exception:  # pragma: no cover
     pltpu = None
     _VMEM = None
 
-__all__ = ["fused_view_features"]
+__all__ = ["fused_view_features", "fused_view_pitch"]
 
 _DN = (((1,), (0,)), ((), ()))
 
@@ -227,6 +227,164 @@ def _fused_view_call(
     )(top, bot, w2_row, nyqc_row, mhi, mlo, fbhi, fblo,
       jnp.asarray(fb_nyq, jnp.float32).reshape(1, num_filters),
       dcthi, dctlo, lifter_row)
+
+
+def _pitch_kernel(
+    top_ref,
+    bot_ref,
+    nyqc_ref,
+    mhi_ref,
+    mlo_ref,
+    invhi_ref,
+    invlo_ref,
+    invnyq_ref,
+    f0_ref,
+    conf_ref,
+    *,
+    half: int,
+    lag_min: int,
+    lag_max: int,
+    sample_rate: int,
+):
+    """Banded-ACF pitch for one block of frames, all intermediates in VMEM:
+    frame tile -> merged ACF-DFT matmul (3-pass bf16) -> power -> inverse
+    matmul back to lags (+ rank-1 Nyquist term) -> normalized band peak.
+
+    Mirrors ``time_features.autocorrelation_via_dft`` +
+    ``pitch._band_peak_pick`` (reference ACF semantics:
+    rtvp/signal_processing/time_features.py:73-76)."""
+    ft = jnp.concatenate([top_ref[:], bot_ref[:]], axis=1)  # raw frames
+    ft_hi, ft_lo = _split_bf16(ft)
+    m = _dot3(ft_hi, ft_lo, mhi_ref[:], mlo_ref[:])  # (BF, nfft)
+    nyq = jnp.sum(ft * nyqc_ref[:], axis=1, keepdims=True)
+    power = m[:, :half] * m[:, :half] + m[:, half:] * m[:, half:]
+    p_hi, p_lo = _split_bf16(power)
+    acf = _dot3(p_hi, p_lo, invhi_ref[:], invlo_ref[:]) + (
+        nyq * nyq
+    ) * invnyq_ref[:]  # (BF, lag_max+1)
+
+    # Normalized band peak (pitch._band_peak_pick): argmax over the full lag
+    # axis with out-of-band lags masked to -inf (avoids lane-slice relayouts).
+    r0 = jnp.maximum(acf[:, :1], jnp.float32(1e-10))
+    lags = jax.lax.broadcasted_iota(jnp.int32, acf.shape, 1)
+    in_band = (lags >= lag_min) & (lags <= lag_max)
+    band = jnp.where(in_band, acf / r0, jnp.float32(-jnp.inf))
+    best = jnp.argmax(band, axis=1, keepdims=True)
+    conf = jnp.max(band, axis=1, keepdims=True)
+    f0_ref[:] = jnp.float32(sample_rate) / best.astype(jnp.float32)
+    conf_ref[:] = conf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("half", "lag_min", "lag_max", "sample_rate",
+                     "block_frames"),
+)
+def _fused_pitch_call(
+    top,
+    bot,
+    nyqc_row,
+    merged,
+    inv_live,
+    inv_nyq_row,
+    *,
+    half: int,
+    lag_min: int,
+    lag_max: int,
+    sample_rate: int,
+    block_frames: int,
+):
+    f_pad = top.shape[0]
+    grid = (f_pad // block_frames,)
+    interpret = jax.default_backend() != "tpu"
+    frame_size = top.shape[1] * 2
+    n_fft = merged.shape[1]
+    n_lags = inv_live.shape[1]
+    hop = frame_size // 2
+
+    mhi, mlo = _split_bf16(merged)
+    invhi, invlo = _split_bf16(inv_live)
+
+    def vmem_spec(block_shape, index_map):
+        if _VMEM is not None and not interpret:
+            return pl.BlockSpec(block_shape, index_map, memory_space=_VMEM)
+        return pl.BlockSpec(block_shape, index_map)
+
+    const = lambda shape: vmem_spec(shape, lambda i: (0, 0))
+    kernel = functools.partial(
+        _pitch_kernel, half=half, lag_min=lag_min, lag_max=lag_max,
+        sample_rate=sample_rate,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            vmem_spec((block_frames, hop), lambda i: (i, 0)),  # top
+            vmem_spec((block_frames, hop), lambda i: (i, 0)),  # bot
+            const((1, frame_size)),  # nyq col
+            const((frame_size, n_fft)),  # merged hi
+            const((frame_size, n_fft)),  # merged lo
+            const((half, n_lags)),  # inv hi
+            const((half, n_lags)),  # inv lo
+            const((1, n_lags)),  # inv nyquist row
+        ],
+        out_specs=(
+            vmem_spec((block_frames, 1), lambda i: (i, 0)),
+            vmem_spec((block_frames, 1), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((f_pad, 1), jnp.float32),  # f0
+            jax.ShapeDtypeStruct((f_pad, 1), jnp.float32),  # confidence
+        ),
+        interpret=interpret,
+    )(top, bot, nyqc_row, mhi, mlo, invhi, invlo, inv_nyq_row)
+
+
+def fused_view_pitch(
+    rows: jnp.ndarray,
+    *,
+    merged: np.ndarray,
+    nyq_b: np.ndarray,
+    inv_live: np.ndarray,
+    inv_nyq: np.ndarray,
+    lag_min: int,
+    lag_max: int,
+    sample_rate: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused banded-ACF pitch from a ``(F+1, hop)`` signal view.
+
+    Returns ``(f0, confidence)`` of shape ``(F,)`` each — the UNGATED track
+    (the caller applies the VAD/confidence gate, as in
+    ``pitch.pitch_track_signal``). ``merged``/``nyq_b``/``inv_live``/
+    ``inv_nyq`` come from ``time_features._acf_dft_bases_merged``.
+    """
+    f = int(rows.shape[0]) - 1
+    half = merged.shape[1] // 2
+    n_lags = int(inv_live.shape[1])
+
+    x = jnp.asarray(rows, jnp.float32)
+    top, bot = x[:-1], x[1:]
+    block_frames = 512 if f >= 512 else max(8, -(-f // 8) * 8)
+    f_pad = -(-f // block_frames) * block_frames
+    if f_pad != f:
+        top = jnp.pad(top, ((0, f_pad - f), (0, 0)))
+        bot = jnp.pad(bot, ((0, f_pad - f), (0, 0)))
+
+    frame_size = int(merged.shape[0])
+    f0, conf = _fused_pitch_call(
+        top,
+        bot,
+        jnp.asarray(np.asarray(nyq_b, np.float32).reshape(1, frame_size)),
+        jnp.asarray(merged),
+        jnp.asarray(inv_live),
+        jnp.asarray(np.asarray(inv_nyq, np.float32).reshape(1, n_lags)),
+        half=half,
+        lag_min=int(lag_min),
+        lag_max=int(lag_max),
+        sample_rate=int(sample_rate),
+        block_frames=block_frames,
+    )
+    return f0[:f, 0], conf[:f, 0]
 
 
 def fused_view_features(

@@ -110,7 +110,7 @@ def pitch_track(
     jax.jit,
     static_argnames=(
         "frame_size", "hop_size", "sample_rate", "fmin", "fmax",
-        "min_confidence", "acf_impl", "precision",
+        "min_confidence", "acf_impl", "precision", "use_kernel",
     ),
 )
 def pitch_track_signal(
@@ -124,6 +124,7 @@ def pitch_track_signal(
     min_confidence: float = 0.3,
     acf_impl: str = "dft",
     precision: str = "high",
+    use_kernel: bool = False,
 ):
     """VAD-gated pitch track over a whole 1-D signal, entirely on device:
     streaming-style framing (full frames only, engine.py:240-242 semantics)
@@ -159,6 +160,27 @@ def pitch_track_signal(
         merged, nyq_b, inv_live, inv_nyq = _acf_dft_bases_merged(
             frame_size, lag_max
         )
+        if use_kernel:
+            # Fused Pallas variant: intermediates (DFT output, power, ACF)
+            # stay in VMEM; manual 3-pass bf16 matmuls (ops/pallas_view.py).
+            # Opt-in pending the on-chip A/B (tools/viewkernel_ab.py --pitch).
+            from .pallas_view import fused_view_pitch
+
+            rows = x[: (n + 1) * hop].reshape(n + 1, hop)
+            f0, conf = fused_view_pitch(
+                rows,
+                merged=merged,
+                nyq_b=nyq_b,
+                inv_live=inv_live,
+                inv_nyq=inv_nyq,
+                lag_min=lag_min,
+                lag_max=lag_max,
+                sample_rate=sample_rate,
+            )
+            gate = (jnp.asarray(vad) > 0) & (
+                conf >= jnp.float32(min_confidence)
+            )
+            return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
         half = merged.shape[1] // 2
         rows = x[: (n + 1) * hop].reshape(n + 1, hop)
         top, bot = rows[:-1], rows[1:]

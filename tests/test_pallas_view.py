@@ -158,6 +158,33 @@ def test_view_kernel_gated_off_for_hanning():
     assert p._use_view_kernel is False
 
 
+def test_pitch_kernel_matches_xla_track():
+    """fused_view_pitch (via pitch_track_signal(use_kernel=True)) must agree
+    with the shipped XLA track: identical F0 decisions away from ACF ties,
+    confidence at the 3-pass split error."""
+    from sspv_tpu.ops.pitch import pitch_track_signal
+
+    sr = 16000
+    t = np.arange(4 * sr) / sr
+    rng = np.random.default_rng(5)
+    sig = rng.normal(0, 40, t.size)
+    voiced = ((t * 2).astype(int) % 4) == 1
+    sig = np.where(
+        voiced, 5000 * np.sin(2 * np.pi * 130 * t), sig
+    ).astype(np.float32)
+    n = 1 + (sig.size - 320) // 160
+    vad = np.ones(n, np.int32)
+
+    f0_x, conf_x = pitch_track_signal(sig, vad)
+    f0_k, conf_k = pitch_track_signal(sig, vad, use_kernel=True)
+    f0_x, f0_k = np.asarray(f0_x), np.asarray(f0_k)
+    assert np.mean(f0_x == f0_k) >= 0.999
+    assert _nmse(conf_k, conf_x) < 1e-7
+    # and the truth: voiced frames track the 130 Hz tone
+    got = f0_k[f0_k > 0]
+    assert got.size > 0 and abs(np.median(got) - 130.0) < 5.0
+
+
 def test_view_kernel_geometry_gating():
     """Unsupported geometries must leave the kernel off (XLA fallback), even
     with the knob set."""

@@ -91,6 +91,50 @@ def main(argv):
         "backend": jax.default_backend(),
         "seconds_per_call": seconds,
     }))
+
+    # Pitch leg (3600 s/call — bench.py's pitch methodology): shipped
+    # hop-phase XLA track vs the fused kernel track.
+    from sspv_tpu.ops.pitch import pitch_track_signal
+
+    p_seconds = 3600.0
+    pn = int(p_seconds * sr)
+    p_frames = 1 + (pn - 320) // 160
+    sig_p = sig[:pn]
+    state0 = shipped.initial_state()
+    block, _ = shipped.process_signal_device(sig, state0)
+    vad_gate = block.vad[:p_frames]
+
+    def measure_pitch(use_kernel, name):
+        f0, conf = pitch_track_signal(sig_p, vad_gate, use_kernel=use_kernel)
+        jax.block_until_ready(f0)
+        _ = float(jax.device_get(f0[-1]))
+        tails = []
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            f0, conf = pitch_track_signal(
+                sig_p, vad_gate, use_kernel=use_kernel
+            )
+            tails.append(f0[-1] + conf[-1])
+        _ = float(jax.device_get(jnp.stack(tails).sum()))
+        per = (time.perf_counter() - t0) / reps
+        print(json.dumps({
+            "variant": name,
+            "time_s": round(per, 5),
+            "audio_x_realtime": round(p_seconds / per, 1),
+        }), flush=True)
+        return per, f0
+
+    pa, f0_x = measure_pitch(False, "pitch_xla_shipped")
+    pb, f0_k = measure_pitch(True, "pitch_pallas_kernel")
+    match = float(np.mean(
+        np.asarray(jax.device_get(f0_x)) == np.asarray(jax.device_get(f0_k))
+    ))
+    print(json.dumps({
+        "summary": "pitch kernel vs shipped",
+        "speedup": round(pa / pb, 3),
+        "f0_match": round(match, 6),
+        "seconds_per_call": p_seconds,
+    }))
     return 0
 
 
