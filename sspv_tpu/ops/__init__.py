@@ -31,7 +31,7 @@ from .vad import (
     initial_vad_state,
 )
 from .pipeline import FeatureConfig, FeatureBlock, FeaturePipeline
-from .pitch import pitch_from_frames, pitch_track
+from .pitch import pitch_from_frames, pitch_track, pitch_track_signal
 
 __all__ = [
     "hamming_window",
@@ -62,4 +62,5 @@ __all__ = [
     "FeaturePipeline",
     "pitch_from_frames",
     "pitch_track",
+    "pitch_track_signal",
 ]

@@ -50,7 +50,11 @@ __all__ = [
     "initial_packed_state",
 ]
 
-_NEG_LARGE = jnp.int32(-(2**30))
+# A plain numpy scalar, NOT jnp: a module-level jnp constant would force
+# backend initialization at import time, making ``import sspv_tpu`` fail
+# outright when the device is unavailable (observed: tools crashing during
+# TPU-tunnel outages instead of blocking/retrying).
+_NEG_LARGE = np.int32(-(2**30))
 
 # Trace-evidence counter: bumped at TRACE time whenever the blocked
 # two-level-cumsum trailing-sum implementation is actually selected (i.e.

@@ -20,9 +20,11 @@ class DummyAudioSource(AudioSource):
     """In-memory int16 sine source honoring the 3-method contract."""
 
     def __init__(self, duration_sec: float = 0.25, freq_hz: float = 440.0,
-                 signal: np.ndarray | None = None) -> None:
+                 signal: np.ndarray | None = None,
+                 read_delay_s: float = 0.0) -> None:
         self.sample_rate = Config.SAMPLE_RATE
         self.channels = 1
+        self._read_delay_s = read_delay_s
         if signal is None:
             t = np.arange(int(duration_sec * self.sample_rate)) / self.sample_rate
             signal = (0.5 * np.sin(2 * np.pi * freq_hz * t) * 32767).astype(np.int16)
@@ -35,6 +37,8 @@ class DummyAudioSource(AudioSource):
         self.exhausted = False
 
     def read(self, num_frames: int) -> np.ndarray:
+        if self._read_delay_s:
+            time.sleep(self._read_delay_s)
         if self._pos >= len(self._data):
             self.exhausted = True
             return np.array([], dtype=np.int16)
@@ -148,8 +152,12 @@ def test_save_data_concurrent_with_streaming(tmp_path):
     from sspv_tpu.utils.npz_io import load_session, validate_session
 
     # a long stream -> many streaming blocks; save as fast as possible the
-    # whole time so exports interleave with block materialization
-    src = DummyAudioSource(duration_sec=20.0)
+    # whole time so exports interleave with block materialization. The small
+    # per-read pacing keeps the capture thread alive for ~1 s of wall clock
+    # regardless of host load / warm executables, guaranteeing the save loop
+    # below actually overlaps with blocks landing (without it, a warm CPU
+    # drain can finish before the first concurrent save — a timing flake).
+    src = DummyAudioSource(duration_sec=20.0, read_delay_s=0.003)
     rt = AudioRuntime(audio_source=src)
     rt.auto_stop_on_eof = True
     rt.start()
