@@ -1,0 +1,397 @@
+#!/usr/bin/env python3
+"""HTTP serving layer: speech features / VAD / pitch as a network service.
+
+The reference is a single-user desktop app (``rtvp/main.py`` +
+``rtvp/ui/visualization.py``) with no serving surface; this module is the
+deployment path the TPU rebuild adds on top of the same feature semantics.
+Design follows the measured multistream result (``docs/benchmarks.md``,
+"Concurrent-stream serving"): all requests share ONE ``FeaturePipeline`` —
+one set of compiled XLA executables — and the per-request state is purely
+functional, so a stdlib threaded HTTP server in front of the XLA dispatch
+queue is all the machinery a single-chip deployment needs. Arbitrary input
+lengths pad to ``FeaturePipeline.SIGNAL_BUCKET_SECONDS`` buckets (causal
+features: tail padding is sliced off exactly), so any mix of client payloads
+compiles at most a handful of programs.
+
+Endpoints
+---------
+- ``GET  /healthz``       -> backend + device count (touches the device: it
+  IS the health probe).
+- ``GET  /config``        -> JSON dump of every overridable Config attr.
+- ``POST /v1/features``   -> per-frame energy/zcr/entropy/MFCC/VAD.
+- ``POST /v1/vad``        -> just the composite + adaptive VAD decisions.
+- ``POST /v1/pitch``      -> VAD-gated F0 track + confidence.
+
+Request body: a PCM WAV file (``Content-Type: audio/wav`` or a ``RIFF``
+magic), or raw little-endian int16 PCM (``application/octet-stream``) with
+the sample rate in an ``X-Sample-Rate`` header or ``?rate=`` query. Any
+sample rate is accepted (polyphase resample to ``Config.SAMPLE_RATE``, the
+same ladder as ``FileAudioSource``); multi-channel audio is mean-downmixed.
+Response: JSON (default) or ``?fmt=npz`` for a compressed npz payload.
+
+Run: ``python -m sspv_tpu.serve`` (env: ``RTP_SERVE_HOST``,
+``RTP_SERVE_PORT``, ``RTP_SERVE_WARMUP=0`` to skip the warm-up compile).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import os
+import threading
+import urllib.parse
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .config import Config
+
+logger = logging.getLogger(__name__)
+
+_MAX_BODY_BYTES = 512 * 1024 * 1024  # 512 MB ~ 4.5 h of 16 kHz wav
+
+
+class AudioDecodeError(ValueError):
+    """Request body could not be decoded into PCM audio."""
+
+
+def decode_audio(
+    body: bytes, content_type: str = "", rate_hint: int | None = None
+) -> tuple[np.ndarray, int]:
+    """Decode a request body to mono int16 samples + sample rate.
+
+    WAV (PCM 8/16/32-bit) via stdlib ``wave``; raw int16 PCM needs
+    ``rate_hint``. Multi-channel is mean-downmixed (``FileAudioSource``
+    default, runtime/audio_source.py).
+    """
+    if not body:
+        raise AudioDecodeError("empty request body")
+    ct = (content_type or "").split(";")[0].strip().lower()
+    if body[:4] == b"RIFF" or ct in ("audio/wav", "audio/x-wav", "audio/wave"):
+        try:
+            with wave.open(io.BytesIO(body)) as w:
+                sr = w.getframerate()
+                nch = w.getnchannels()
+                width = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+        except Exception as e:
+            raise AudioDecodeError(f"invalid WAV: {e}") from e
+        if width == 2:
+            data = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+        elif width == 4:
+            data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 65536.0
+        elif width == 1:  # 8-bit WAV is unsigned
+            data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) * 256.0
+        else:
+            raise AudioDecodeError(f"unsupported WAV sample width: {width}")
+        if nch > 1:
+            data = data[: (len(data) // nch) * nch].reshape(-1, nch).mean(axis=1)
+        samples = np.clip(data, -32768.0, 32767.0).astype(np.int16)
+        return samples, int(sr)
+    if ct in ("application/octet-stream", "audio/l16", ""):
+        if rate_hint is None:
+            raise AudioDecodeError(
+                "raw PCM needs a sample rate (X-Sample-Rate header or ?rate=)"
+            )
+        if len(body) % 2:
+            body = body[:-1]
+        return np.frombuffer(body, dtype="<i2"), int(rate_hint)
+    raise AudioDecodeError(f"unsupported content type: {content_type}")
+
+
+class FeatureService:
+    """Stateless per-request analysis over one shared ``FeaturePipeline``.
+
+    Thread-safe: the pipeline's jitted callables are shared (XLA queues
+    concurrent dispatches); per-request VAD state is created fresh and
+    discarded, so requests never observe each other.
+    """
+
+    def __init__(self, pipeline=None):
+        from .ops.pipeline import FeatureConfig, FeaturePipeline
+
+        self.pipe = pipeline or FeaturePipeline(FeatureConfig.from_config(Config))
+        self._pitch_jits: dict[tuple, object] = {}
+        self._pitch_lock = threading.Lock()
+
+    # -- helpers ---------------------------------------------------------
+
+    def _to_model_rate(self, samples: np.ndarray, sr: int) -> np.ndarray:
+        from .runtime.audio_source import _resample_to
+
+        target = self.pipe.cfg.sample_rate
+        return np.asarray(
+            _resample_to(np.asarray(samples, dtype=np.int16), sr, target)
+        )
+
+    def _pitch_fn(self, padded_len: int, fmin: float, fmax: float,
+                  min_confidence: float):
+        """Jitted pitch program per (padded length, band) — lengths come
+        from the signal buckets, so the executable count stays bounded."""
+        import jax
+
+        from .ops.pitch import pitch_track_signal
+
+        key = (padded_len, float(fmin), float(fmax), float(min_confidence))
+        with self._pitch_lock:
+            fn = self._pitch_jits.get(key)
+            if fn is None:
+                c = self.pipe.cfg
+
+                def impl(sig, vad):
+                    return pitch_track_signal(
+                        sig, vad,
+                        frame_size=c.frame_size, hop_size=c.hop_size,
+                        sample_rate=c.sample_rate,
+                        fmin=fmin, fmax=fmax, min_confidence=min_confidence,
+                    )
+
+                fn = jax.jit(impl)
+                self._pitch_jits[key] = fn
+        return fn
+
+    # -- analysis --------------------------------------------------------
+
+    def analyze(
+        self,
+        samples: np.ndarray,
+        sample_rate: int,
+        want_pitch: bool = False,
+        fmin: float = 50.0,
+        fmax: float = 400.0,
+        min_confidence: float = 0.3,
+    ) -> dict:
+        """Full per-frame analysis of one utterance; returns numpy arrays."""
+        import jax
+
+        c = self.pipe.cfg
+        sig = self._to_model_rate(samples, sample_rate).astype(np.float32)
+        out: dict = {
+            "sample_rate": c.sample_rate,
+            "num_samples": int(len(sig)),
+            "frame_size": c.frame_size,
+            "hop_size": c.hop_size,
+        }
+        if len(sig) < c.frame_size:
+            z = np.zeros((0,), np.float32)
+            out.update(
+                num_frames=0, energy=z, zcr=z, entropy=z,
+                mfcc=np.zeros((0, c.num_ceps), np.float32),
+                vad=np.zeros((0,), np.int32),
+                vad_adaptive=np.zeros((0,), np.int32),
+            )
+            if want_pitch:
+                out.update(f0=z, pitch_confidence=z)
+            return out
+        block, _state = self.pipe.process_signal_auto(sig)
+        jax.block_until_ready(block)
+        vad = np.asarray(block.vad)
+        out.update(
+            num_frames=int(vad.shape[0]),
+            energy=np.asarray(block.energy),
+            zcr=np.asarray(block.zcr),
+            entropy=np.asarray(block.entropy),
+            mfcc=np.asarray(block.mfcc),
+            vad=vad.astype(np.int32),
+            vad_adaptive=np.asarray(block.vad_adaptive).astype(np.int32),
+        )
+        if want_pitch:
+            n = out["num_frames"]
+            # Same bucket-padding trick as process_signal_auto: pitch is
+            # frame-local, so tail padding (gated by vad=0) slices off exact.
+            target = next(
+                (s * c.sample_rate
+                 for s in self.pipe.SIGNAL_BUCKET_SECONDS
+                 if len(sig) <= s * c.sample_rate),
+                None,
+            )
+            psig = np.pad(sig, (0, target - len(sig))) if target else sig
+            n_pad = 1 + (len(psig) - c.frame_size) // c.hop_size
+            pvad = np.zeros((n_pad,), np.int32)
+            pvad[:n] = vad[:n]
+            fn = self._pitch_fn(len(psig), fmin, fmax, min_confidence)
+            f0, conf = fn(psig, pvad)
+            out["f0"] = np.asarray(f0)[:n]
+            out["pitch_confidence"] = np.asarray(conf)[:n]
+        return out
+
+    def warmup(self) -> None:
+        """Compile the smallest-bucket programs so the first request does
+        not pay the (minutes-long on remote hardware) cold compile."""
+        c = self.pipe.cfg
+        sr = c.sample_rate
+        sec = self.pipe.SIGNAL_BUCKET_SECONDS[0]
+        sig = np.zeros((sec * sr,), np.int16)
+        self.analyze(sig, sr, want_pitch=True)
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer
+# ---------------------------------------------------------------------------
+
+_VAD_KEYS = ("num_frames", "vad", "vad_adaptive")
+_FEATURE_KEYS = _VAD_KEYS + ("energy", "zcr", "entropy", "mfcc")
+_PITCH_KEYS = _VAD_KEYS + ("f0", "pitch_confidence")
+_META_KEYS = ("sample_rate", "num_samples", "frame_size", "hop_size")
+
+
+def _select(result: dict, keys: tuple) -> dict:
+    return {k: result[k] for k in _META_KEYS + keys}
+
+
+def _jsonify(obj):
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    return obj
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by make_server()
+    service: FeatureService = None  # type: ignore[assignment]
+    protocol_version = "HTTP/1.1"
+
+    # -- plumbing ---------------------------------------------------------
+
+    def log_message(self, fmt, *args):  # route through stdlib logging
+        logger.info("%s %s", self.address_string(), fmt % args)
+
+    def _reply(self, code: int, payload: bytes, content_type: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def _reply_json(self, code: int, obj: dict) -> None:
+        body = json.dumps(
+            {k: _jsonify(v) for k, v in obj.items()}
+        ).encode("utf-8")
+        self._reply(code, body, "application/json")
+
+    def _reply_error(self, code: int, message: str) -> None:
+        self._reply_json(code, {"error": message})
+
+    # -- GET ---------------------------------------------------------------
+
+    def do_GET(self):  # noqa: N802 (stdlib naming)
+        path = urllib.parse.urlparse(self.path).path
+        if path == "/healthz":
+            import jax
+
+            try:
+                backend = jax.default_backend()
+                n = len(jax.devices())
+            except Exception as e:  # device down: report, don't crash
+                self._reply_json(503, {"status": "unavailable", "error": str(e)})
+                return
+            self._reply_json(
+                200, {"status": "ok", "backend": backend, "device_count": n}
+            )
+        elif path == "/config":
+            cfg = {k: getattr(Config, k) for k in Config._overridable()}
+            self._reply_json(200, {k: _jsonify(v) for k, v in cfg.items()})
+        else:
+            self._reply_error(404, f"unknown path: {path}")
+
+    # -- POST ---------------------------------------------------------------
+
+    def do_POST(self):  # noqa: N802
+        parsed = urllib.parse.urlparse(self.path)
+        query = urllib.parse.parse_qs(parsed.query)
+
+        def qfloat(name: str, default: float) -> float:
+            return float(query[name][0]) if name in query else default
+
+        route = {
+            "/v1/features": (_FEATURE_KEYS, False),
+            "/v1/vad": (_VAD_KEYS, False),
+            "/v1/pitch": (_PITCH_KEYS, True),
+        }.get(parsed.path)
+        if route is None:
+            self._reply_error(404, f"unknown path: {parsed.path}")
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                self._reply_error(400, "missing request body")
+                return
+            if length > _MAX_BODY_BYTES:
+                self._reply_error(413, "request body too large")
+                return
+            body = self.rfile.read(length)
+            rate_hint = self.headers.get("X-Sample-Rate") or (
+                query["rate"][0] if "rate" in query else None
+            )
+            samples, sr = decode_audio(
+                body,
+                self.headers.get("Content-Type", ""),
+                int(rate_hint) if rate_hint else None,
+            )
+        except AudioDecodeError as e:
+            self._reply_error(400, str(e))
+            return
+        except Exception as e:
+            self._reply_error(400, f"bad request: {e}")
+            return
+
+        keys, want_pitch = route
+        try:
+            result = self.service.analyze(
+                samples, sr,
+                want_pitch=want_pitch,
+                fmin=qfloat("fmin", 50.0),
+                fmax=qfloat("fmax", 400.0),
+                min_confidence=qfloat("min_confidence", 0.3),
+            )
+        except Exception as e:  # analysis failure is a server-side error
+            logger.exception("analysis failed")
+            self._reply_error(500, f"analysis failed: {e}")
+            return
+        selected = _select(result, keys)
+        fmt = query.get("fmt", ["json"])[0]
+        if fmt == "npz":
+            buf = io.BytesIO()
+            np.savez_compressed(buf, **selected)
+            self._reply(200, buf.getvalue(), "application/octet-stream")
+        else:
+            self._reply_json(200, selected)
+
+
+def make_server(
+    host: str = "127.0.0.1",
+    port: int = 0,
+    service: FeatureService | None = None,
+) -> ThreadingHTTPServer:
+    """Build (not start) a threaded HTTP server bound to ``host:port``;
+    ``port=0`` picks a free port (``server.server_address[1]``)."""
+    svc = service or FeatureService()
+    handler = type("BoundHandler", (_Handler,), {"service": svc})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main() -> None:
+    Config.setup_logging()
+    Config.load_from_env()
+    host = os.environ.get("RTP_SERVE_HOST", "127.0.0.1")
+    port = int(os.environ.get("RTP_SERVE_PORT", "8571"))
+    server = make_server(host, port)
+    if os.environ.get("RTP_SERVE_WARMUP", "1") not in ("0", "false", "no"):
+        logger.info("warming up (first compile can take minutes on remote hardware)")
+        server.RequestHandlerClass.service.warmup()
+    logger.info("serving on http://%s:%d", *server.server_address[:2])
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

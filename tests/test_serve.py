@@ -1,0 +1,262 @@
+#!/usr/bin/env python3
+"""Serving-layer tests: HTTP feature/VAD/pitch endpoints over a live
+threaded server, exact parity vs direct FeaturePipeline calls, decode
+ladder, error paths, and concurrent clients sharing one pipeline."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+from sspv_tpu.config import Config
+from sspv_tpu.serve import (
+    AudioDecodeError,
+    FeatureService,
+    decode_audio,
+    make_server,
+)
+
+
+def _tone_i16(duration_s=2.0, freq=100.0, sr=None, amp=8000.0):
+    sr = sr or Config.SAMPLE_RATE
+    t = np.arange(int(duration_s * sr)) / sr
+    sig = np.zeros_like(t)
+    # voiced middle, silence around it: exercises VAD both ways
+    lo, hi = len(t) // 4, 3 * len(t) // 4
+    sig[lo:hi] = np.sin(2 * np.pi * freq * t[lo:hi]) * amp
+    return sig.astype(np.int16), sr
+
+
+def _wav_bytes(samples: np.ndarray, sr: int, channels: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = make_server("127.0.0.1", 0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+def _post(server, path, body, content_type="audio/wav", headers=None):
+    host, port = server.server_address[:2]
+    req = urllib.request.Request(
+        f"http://{host}:{port}{path}", data=body, method="POST",
+        headers={"Content-Type": content_type, **(headers or {})},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+
+
+def _get(server, path):
+    host, port = server.server_address[:2]
+    with urllib.request.urlopen(
+        f"http://{host}:{port}{path}", timeout=120
+    ) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+# ---------------------------------------------------------------------------
+# decode_audio unit behavior
+# ---------------------------------------------------------------------------
+
+
+def test_decode_wav_roundtrip():
+    samples, sr = _tone_i16(0.5)
+    out, out_sr = decode_audio(_wav_bytes(samples, sr), "audio/wav")
+    assert out_sr == sr
+    np.testing.assert_array_equal(out, samples)
+
+
+def test_decode_wav_stereo_mean_downmix():
+    samples, sr = _tone_i16(0.25)
+    stereo = np.stack([samples, np.zeros_like(samples)], axis=1).reshape(-1)
+    out, _ = decode_audio(_wav_bytes(stereo, sr, channels=2), "audio/wav")
+    np.testing.assert_allclose(out, (samples / 2).astype(np.int16), atol=1)
+
+
+def test_decode_raw_pcm_needs_rate():
+    samples, _ = _tone_i16(0.1)
+    with pytest.raises(AudioDecodeError):
+        decode_audio(samples.tobytes(), "application/octet-stream", None)
+    out, sr = decode_audio(samples.tobytes(), "application/octet-stream", 8000)
+    assert sr == 8000
+    np.testing.assert_array_equal(out, samples)
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(AudioDecodeError):
+        decode_audio(b"RIFFnotawav", "audio/wav")
+    with pytest.raises(AudioDecodeError):
+        decode_audio(b"", "audio/wav")
+    with pytest.raises(AudioDecodeError):
+        decode_audio(b"x" * 10, "text/plain")
+
+
+# ---------------------------------------------------------------------------
+# FeatureService parity vs the pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_service_matches_pipeline_exactly():
+    samples, sr = _tone_i16(2.0)
+    svc = FeatureService()
+    res = svc.analyze(samples, sr)
+    block, _ = svc.pipe.process_signal_auto(samples.astype(np.float32))
+    np.testing.assert_array_equal(res["vad"], np.asarray(block.vad))
+    np.testing.assert_array_equal(res["energy"], np.asarray(block.energy))
+    np.testing.assert_array_equal(res["mfcc"], np.asarray(block.mfcc))
+    assert res["num_frames"] == np.asarray(block.vad).shape[0]
+    assert res["vad"].sum() > 0  # the tone is detected
+
+
+def test_service_short_and_empty_inputs():
+    svc = FeatureService()
+    res = svc.analyze(np.zeros((10,), np.int16), Config.SAMPLE_RATE,
+                      want_pitch=True)
+    assert res["num_frames"] == 0
+    assert res["f0"].shape == (0,)
+    res = svc.analyze(np.zeros((0,), np.int16), Config.SAMPLE_RATE)
+    assert res["num_frames"] == 0
+
+
+def test_service_pitch_tracks_tone():
+    samples, sr = _tone_i16(2.0, freq=100.0)
+    svc = FeatureService()
+    res = svc.analyze(samples, sr, want_pitch=True)
+    f0 = res["f0"]
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 10
+    assert abs(np.median(voiced) - 100.0) < 5.0
+
+
+def test_service_resamples_foreign_rates():
+    # same tone delivered at 8 kHz must still be analyzed at 16 kHz
+    samples8k, _ = _tone_i16(2.0, freq=100.0, sr=8000)
+    svc = FeatureService()
+    res = svc.analyze(samples8k, 8000)
+    assert res["sample_rate"] == Config.SAMPLE_RATE
+    assert res["num_samples"] == 2 * Config.SAMPLE_RATE
+    assert res["vad"].sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# HTTP endpoints
+# ---------------------------------------------------------------------------
+
+
+def test_http_healthz_and_config(server):
+    status, health = _get(server, "/healthz")
+    assert status == 200 and health["status"] == "ok"
+    assert health["device_count"] >= 1
+    status, cfg = _get(server, "/config")
+    assert status == 200
+    assert cfg["SAMPLE_RATE"] == Config.SAMPLE_RATE
+
+
+def test_http_features_json_matches_direct(server):
+    samples, sr = _tone_i16(2.0)
+    status, ctype, body = _post(server, "/v1/features", _wav_bytes(samples, sr))
+    assert status == 200 and ctype == "application/json"
+    res = json.loads(body)
+    svc = server.RequestHandlerClass.service
+    direct = svc.analyze(samples, sr)
+    assert res["num_frames"] == direct["num_frames"] > 0
+    np.testing.assert_array_equal(np.asarray(res["vad"]), direct["vad"])
+    np.testing.assert_allclose(
+        np.asarray(res["energy"], np.float32), direct["energy"], rtol=1e-6
+    )
+    assert np.asarray(res["mfcc"]).shape == direct["mfcc"].shape
+
+
+def test_http_vad_npz_format(server):
+    samples, sr = _tone_i16(1.0)
+    status, ctype, body = _post(
+        server, "/v1/vad?fmt=npz", _wav_bytes(samples, sr)
+    )
+    assert status == 200 and ctype == "application/octet-stream"
+    with np.load(io.BytesIO(body)) as z:
+        assert set(z.files) >= {"vad", "vad_adaptive", "num_frames"}
+        assert z["vad"].shape[0] == int(z["num_frames"])
+
+
+def test_http_pitch_endpoint(server):
+    samples, sr = _tone_i16(2.0, freq=200.0)
+    status, _, body = _post(server, "/v1/pitch", _wav_bytes(samples, sr))
+    assert status == 200
+    res = json.loads(body)
+    f0 = np.asarray(res["f0"])
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 10
+    assert abs(np.median(voiced) - 200.0) < 8.0
+
+
+def test_http_raw_pcm_with_rate_header(server):
+    samples, sr = _tone_i16(1.0)
+    status, _, body = _post(
+        server, "/v1/vad", samples.tobytes(),
+        content_type="application/octet-stream",
+        headers={"X-Sample-Rate": str(sr)},
+    )
+    assert status == 200
+    assert np.asarray(json.loads(body)["vad"]).sum() > 0
+
+
+def test_http_error_paths(server):
+    samples, sr = _tone_i16(0.2)
+    for path, body, ctype, want in [
+        ("/v1/features", b"not audio at all", "audio/wav", 400),
+        ("/v1/features", b"", "audio/wav", 400),
+        ("/v1/nope", _wav_bytes(samples, sr), "audio/wav", 404),
+        ("/v1/features", samples.tobytes(), "application/octet-stream", 400),
+    ]:
+        try:
+            status, _, _ = _post(server, path, body, content_type=ctype)
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == want, (path, status)
+    try:
+        status, _ = _get(server, "/nope")
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 404
+
+
+def test_http_concurrent_clients_share_one_pipeline(server):
+    """8 concurrent clients, mixed endpoints; every response must equal the
+    serial result (stateless requests over one shared pipeline)."""
+    samples, sr = _tone_i16(1.5)
+    wav = _wav_bytes(samples, sr)
+    svc = server.RequestHandlerClass.service
+    expect = svc.analyze(samples, sr)
+
+    results: list = [None] * 8
+    def worker(i):
+        path = "/v1/features" if i % 2 else "/v1/vad"
+        status, _, body = _post(server, path, wav)
+        results[i] = (status, json.loads(body))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for i, r in enumerate(results):
+        assert r is not None, f"client {i} hung"
+        status, res = r
+        assert status == 200
+        np.testing.assert_array_equal(np.asarray(res["vad"]), expect["vad"])
