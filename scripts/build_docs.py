@@ -39,6 +39,7 @@ MODULES = [
     "sspv_tpu.runtime.audio_source",
     "sspv_tpu.parallel.mesh",
     "sspv_tpu.serve",
+    "sspv_tpu.batch",
     "sspv_tpu.ui",
     "sspv_tpu.ui.plots",
     "sspv_tpu.ui.headless",

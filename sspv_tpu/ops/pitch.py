@@ -31,7 +31,12 @@ from .time_features import (
     calculate_short_time_autocorrelation,
 )
 
-__all__ = ["pitch_from_frames", "pitch_track", "pitch_track_signal"]
+__all__ = [
+    "pitch_from_frames",
+    "pitch_track",
+    "pitch_track_signal",
+    "pitch_track_signal_jit",
+]
 
 
 def _band_peak_pick(
@@ -205,3 +210,32 @@ def pitch_track_signal(
     return pitch_track(
         frames, vad, sample_rate, fmin, fmax, min_confidence, acf_impl
     )
+
+
+@functools.lru_cache(maxsize=32)
+def pitch_track_signal_jit(
+    frame_size: int = 320,
+    hop_size: int = 160,
+    sample_rate: int = 16000,
+    fmin: float = 50.0,
+    fmax: float = 400.0,
+    min_confidence: float = 0.3,
+    acf_impl: str = "dft",
+    precision: str = "high",
+):
+    """Jitted ``(signal, vad) -> (f0, confidence)`` for these static
+    parameters, cached so repeated callers (the HTTP serving layer, the
+    batch CLI) share one callable — jit then caches executables per input
+    *shape*, so bucket-padded signals compile a bounded set of programs.
+    """
+
+    def impl(signal, vad):
+        return pitch_track_signal(
+            signal, vad,
+            frame_size=frame_size, hop_size=hop_size,
+            sample_rate=sample_rate, fmin=fmin, fmax=fmax,
+            min_confidence=min_confidence, acf_impl=acf_impl,
+            precision=precision,
+        )
+
+    return jax.jit(impl)

@@ -39,7 +39,6 @@ import io
 import json
 import logging
 import os
-import threading
 import urllib.parse
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -113,8 +112,6 @@ class FeatureService:
         from .ops.pipeline import FeatureConfig, FeaturePipeline
 
         self.pipe = pipeline or FeaturePipeline(FeatureConfig.from_config(Config))
-        self._pitch_jits: dict[tuple, object] = {}
-        self._pitch_lock = threading.Lock()
 
     # -- helpers ---------------------------------------------------------
 
@@ -126,31 +123,20 @@ class FeatureService:
             _resample_to(np.asarray(samples, dtype=np.int16), sr, target)
         )
 
-    def _pitch_fn(self, padded_len: int, fmin: float, fmax: float,
-                  min_confidence: float):
-        """Jitted pitch program per (padded length, band) — lengths come
-        from the signal buckets, so the executable count stays bounded."""
-        import jax
+    def _pitch_fn(self, fmin: float, fmax: float, min_confidence: float):
+        """Shared jitted pitch program per band (ops.pitch caches the
+        callable; jit then caches executables per padded-signal shape, and
+        lengths come from the signal buckets, so the executable count stays
+        bounded)."""
+        from .ops.pitch import pitch_track_signal_jit
 
-        from .ops.pitch import pitch_track_signal
-
-        key = (padded_len, float(fmin), float(fmax), float(min_confidence))
-        with self._pitch_lock:
-            fn = self._pitch_jits.get(key)
-            if fn is None:
-                c = self.pipe.cfg
-
-                def impl(sig, vad):
-                    return pitch_track_signal(
-                        sig, vad,
-                        frame_size=c.frame_size, hop_size=c.hop_size,
-                        sample_rate=c.sample_rate,
-                        fmin=fmin, fmax=fmax, min_confidence=min_confidence,
-                    )
-
-                fn = jax.jit(impl)
-                self._pitch_jits[key] = fn
-        return fn
+        c = self.pipe.cfg
+        return pitch_track_signal_jit(
+            frame_size=c.frame_size, hop_size=c.hop_size,
+            sample_rate=c.sample_rate,
+            fmin=float(fmin), fmax=float(fmax),
+            min_confidence=float(min_confidence),
+        )
 
     # -- analysis --------------------------------------------------------
 
@@ -211,7 +197,7 @@ class FeatureService:
             n_pad = 1 + (len(psig) - c.frame_size) // c.hop_size
             pvad = np.zeros((n_pad,), np.int32)
             pvad[:n] = vad[:n]
-            fn = self._pitch_fn(len(psig), fmin, fmax, min_confidence)
+            fn = self._pitch_fn(fmin, fmax, min_confidence)
             f0, conf = fn(psig, pvad)
             out["f0"] = np.asarray(f0)[:n]
             out["pitch_confidence"] = np.asarray(conf)[:n]

@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Batch corpus processor: masked mesh batches must reproduce the
+single-file path exactly, per-file npz/JSONL outputs must land, and the
+CLI must run end-to-end."""
+
+import json
+import os
+import subprocess
+import sys
+import wave
+
+import numpy as np
+
+from sspv_tpu.config import Config
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_wav(path, duration_s, freq):
+    sr = Config.SAMPLE_RATE
+    t = np.arange(int(duration_s * sr)) / sr
+    sig = np.zeros_like(t)
+    lo, hi = len(t) // 4, 3 * len(t) // 4
+    sig[lo:hi] = np.sin(2 * np.pi * freq * t[lo:hi]) * 8000
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(sig.astype("<i2").tobytes())
+    return str(path)
+
+
+def _corpus(tmp_path):
+    return [
+        _write_wav(tmp_path / "a_short.wav", 0.7, 110.0),
+        _write_wav(tmp_path / "b_mid.wav", 1.9, 160.0),
+        _write_wav(tmp_path / "c_longer.wav", 3.1, 220.0),  # next bucket
+        _write_wav(tmp_path / "d_tiny.wav", 0.3, 130.0),
+    ]
+
+
+def test_process_corpus_matches_single_file_path(tmp_path):
+    from sspv_tpu.batch import process_corpus
+    from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
+    from sspv_tpu.runtime.audio_source import FileAudioSource
+
+    files = _corpus(tmp_path)
+    out = tmp_path / "out"
+    summaries = process_corpus(files, out_dir=str(out), batch_size=3,
+                               want_pitch=True)
+    assert [s["file"] for s in summaries] == files
+
+    pipe = FeaturePipeline(FeatureConfig.from_config(Config))
+    for path, s in zip(files, summaries):
+        src = FileAudioSource(path, sample_rate=Config.SAMPLE_RATE)
+        src.open()
+        pcm = src.read(1 << 62)
+        src.close()
+        block, _ = pipe.process_signal_auto(np.asarray(pcm, np.float32))
+        vad = np.asarray(block.vad)
+        assert s["frames"] == vad.shape[0]
+        assert s["voiced_frames"] == int(vad.sum())
+        with np.load(s["npz"]) as z:
+            np.testing.assert_array_equal(z["vads"], vad.astype(np.int32))
+            np.testing.assert_allclose(
+                z["energies"], np.asarray(block.energy, np.float64),
+                rtol=1e-6,
+            )
+            # the masked-batch path materializes frames while
+            # process_signal_auto uses the signal-view matmuls: same oracle
+            # gate, different reduction order -> float32 reassociation noise
+            np.testing.assert_allclose(
+                z["mfcc"], np.asarray(block.mfcc, np.float32),
+                atol=1e-3, rtol=1e-4,
+            )
+            assert z["f0"].shape == vad.shape
+
+
+def test_process_corpus_pitch_tracks_tones(tmp_path):
+    from sspv_tpu.batch import process_corpus
+
+    files = [
+        _write_wav(tmp_path / "t100.wav", 1.5, 100.0),
+        _write_wav(tmp_path / "t200.wav", 1.5, 200.0),
+    ]
+    summaries = process_corpus(files, out_dir=None, want_pitch=True)
+    assert abs(summaries[0]["median_f0_hz"] - 100.0) < 5
+    assert abs(summaries[1]["median_f0_hz"] - 200.0) < 8
+
+
+def test_collect_inputs_walks_and_dedupes(tmp_path):
+    from sspv_tpu.batch import collect_inputs
+
+    files = _corpus(tmp_path)
+    (tmp_path / "sub").mkdir()
+    _write_wav(tmp_path / "sub" / "e.wav", 0.4, 150.0)
+    (tmp_path / "notes.txt").write_text("not audio")
+    got = collect_inputs([str(tmp_path), files[0]])
+    assert len(got) == 5  # 4 + sub/e.wav, txt skipped, no dup of files[0]
+    assert all(g.endswith(".wav") for g in got)
+
+
+def test_batch_cli_end_to_end(tmp_path):
+    files = _corpus(tmp_path)
+    out = tmp_path / "cli_out"
+    jsonl = tmp_path / "summaries.jsonl"
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "sspv_tpu.batch", str(tmp_path),
+         "--out-dir", str(out), "--jsonl", str(jsonl), "--batch", "2"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=ROOT,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    lines = [json.loads(l) for l in r.stdout.splitlines() if l.strip()]
+    assert len(lines) == len(files)
+    agg = json.loads(r.stderr.splitlines()[-1])
+    assert agg["files"] == len(files)
+    assert os.path.exists(out / "a_short.npz")
+    assert len(jsonl.read_text().splitlines()) == len(files)

@@ -89,6 +89,25 @@ def test_decode_wav_stereo_mean_downmix():
     np.testing.assert_allclose(out, (samples / 2).astype(np.int16), atol=1)
 
 
+def test_decode_wav_8_and_32_bit():
+    samples, sr = _tone_i16(0.25)
+    # 32-bit PCM: int32 = int16 << 16, decoder scales back by /65536
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(4); w.setframerate(sr)
+        w.writeframes((samples.astype(np.int32) << 16).astype("<i4").tobytes())
+    out32, _ = decode_audio(buf.getvalue(), "audio/wav")
+    np.testing.assert_array_equal(out32, samples)
+    # 8-bit PCM is unsigned; decoder rescales by 256
+    u8 = ((samples.astype(np.int32) // 256) + 128).astype(np.uint8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(1); w.setframerate(sr)
+        w.writeframes(u8.tobytes())
+    out8, _ = decode_audio(buf.getvalue(), "audio/wav")
+    np.testing.assert_allclose(out8, (samples // 256) * 256, atol=0)
+
+
 def test_decode_raw_pcm_needs_rate():
     samples, _ = _tone_i16(0.1)
     with pytest.raises(AudioDecodeError):
