@@ -88,6 +88,20 @@ def test_process_corpus_pitch_tracks_tones(tmp_path):
     assert abs(summaries[1]["median_f0_hz"] - 200.0) < 8
 
 
+def test_process_corpus_pure_dp_mesh_matches(tmp_path):
+    """dp=8 (every device its own file) must give the same answers as the
+    default dp=2/seq=4 mesh — results are mesh-shape-invariant."""
+    from sspv_tpu.batch import process_corpus
+    from sspv_tpu.parallel import make_mesh
+
+    files = _corpus(tmp_path)
+    a = process_corpus(files, out_dir=None, batch_size=8)
+    b = process_corpus(files, out_dir=None, batch_size=8,
+                       mesh=make_mesh(8, dp=8))
+    for sa, sb in zip(a, b):
+        assert sa == sb
+
+
 def test_collect_inputs_walks_and_dedupes(tmp_path):
     from sspv_tpu.batch import collect_inputs
 
