@@ -172,7 +172,7 @@ def process_corpus(
     for target, idxs in groups.items():
         if target is None:  # huge files: individual scan-path calls
             for i in idxs:
-                sig = signals[i].astype(np.float32)
+                sig = signals[i]  # int16: half the transfer bytes, cast on device
                 block, _ = pipe.process_signal_auto(sig)
                 jax.block_until_ready(block)
                 n = int(np.asarray(block.vad).shape[0])
@@ -185,7 +185,7 @@ def process_corpus(
             chunk = idxs[lo : lo + batch_size]
             b = len(chunk)
             b_pad = -(-b // dp) * dp  # round up to a mesh-divisible batch
-            batch = np.zeros((b_pad, target), np.float32)
+            batch = np.zeros((b_pad, target), np.int16)
             lengths = np.zeros((b_pad,), np.int32)
             for row, i in enumerate(chunk):
                 sig = signals[i]

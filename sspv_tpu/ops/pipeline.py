@@ -744,9 +744,17 @@ class FeaturePipeline:
         bucket and padded frames are masked out of the VAD state, so any
         number of differently-sized files shares at most a handful of
         compiled programs. Requires the 50%-overlap geometry; other
-        geometries fall back to exact-length processing."""
+        geometries fall back to exact-length processing.
+
+        int16 input ships to the device AS int16 (the cast to float32 runs
+        on device, exactly) — half the host->device bytes of a float32
+        signal, the offline counterpart of the engine's samples-dispatch
+        layout (docs/benchmarks.md: the per-call transfer cost and the
+        remote client's per-byte leak both scale with bytes moved)."""
         c = self.cfg
-        sig = np.asarray(signal, dtype=np.float32)
+        sig = np.asarray(signal)
+        if sig.dtype != np.int16:
+            sig = sig.astype(np.float32, copy=False)
         if state is None:
             state = self.initial_state()
         if not (
@@ -775,10 +783,21 @@ class FeaturePipeline:
     ) -> tuple[FeatureBlock, vad_ops.VadState]:
         """Fully on-device path: jitted framing + features + VAD. ``signal``
         may already be a device array (e.g. device_put ahead of time by a
-        double-buffered feeder); nothing round-trips to the host."""
+        double-buffered feeder); nothing round-trips to the host. int16
+        input transfers as int16 and casts on device (half the bytes)."""
         if state is None:
             state = self.initial_state()
-        return self._signal_jit(jnp.asarray(signal, dtype=jnp.float32), state)
+        if isinstance(signal, jax.Array):
+            sig = (
+                signal
+                if signal.dtype in (jnp.int16, jnp.float32)
+                else signal.astype(jnp.float32)
+            )
+        else:
+            sig = np.asarray(signal)
+            if sig.dtype != np.int16:
+                sig = sig.astype(np.float32, copy=False)
+        return self._signal_jit(sig, state)
 
     def stream(self, chunks, state: vad_ops.VadState | None = None,
                buckets: tuple[int, ...] | None = None):

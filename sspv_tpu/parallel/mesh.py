@@ -54,6 +54,16 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
     return Mesh(arr, axis_names=("data", "seq"))
 
 
+def _as_transfer_dtype(signals) -> np.ndarray:
+    """Keep int16 input as int16 for the host->device transfer (the traced
+    framing casts to float32 on device, exactly); everything else becomes
+    float32 host-side."""
+    arr = np.asarray(signals)
+    if arr.dtype != np.int16:
+        arr = arr.astype(np.float32, copy=False)
+    return arr
+
+
 class BatchPipeline:
     """Sharded batch processing over a device mesh.
 
@@ -87,8 +97,9 @@ class BatchPipeline:
     def process_batch(
         self, signals, states: vad_ops.VadState | None = None
     ) -> tuple[FeatureBlock, vad_ops.VadState]:
-        """Process a (B, L) batch of equal-length signals, B over "data"."""
-        signals = jnp.asarray(signals, dtype=jnp.float32)
+        """Process a (B, L) batch of equal-length signals, B over "data".
+        int16 batches transfer as int16 and cast on device (half the bytes)."""
+        signals = _as_transfer_dtype(signals)
         b = signals.shape[0]
         if states is None:
             states = self.initial_states(b)
@@ -109,8 +120,9 @@ class BatchPipeline:
         over "data": ``lengths[i]`` is signal i's true sample count. Padded
         frames are masked out of each signal's VAD state (the same valid-mask
         machinery the bucketed streaming engine uses), so one compiled
-        program serves any mix of file lengths that pads to L."""
-        signals = jnp.asarray(signals, dtype=jnp.float32)
+        program serves any mix of file lengths that pads to L. int16
+        batches transfer as int16 and cast on device (half the bytes)."""
+        signals = _as_transfer_dtype(signals)
         lengths = jnp.asarray(lengths, dtype=jnp.int32)
         b = signals.shape[0]
         if states is None:
@@ -155,8 +167,9 @@ class BatchPipeline:
         path, so signals past ``SCAN_BLOCK_FRAMES`` frames run the same
         lax.scan-over-blocks + carried-VadState machinery as single-device
         ``process_signal_device`` — under the mesh, so the prefix ops' halo
-        and state-carry exchanges lower to collectives."""
-        signal = jnp.asarray(signal, dtype=jnp.float32)
+        and state-carry exchanges lower to collectives. int16 transfers
+        as int16 and casts on device (half the bytes)."""
+        signal = _as_transfer_dtype(signal)
         if state is None:
             state = self.pipe.initial_state()
         key = ("long", signal.shape)

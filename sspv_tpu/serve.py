@@ -153,7 +153,9 @@ class FeatureService:
         import jax
 
         c = self.pipe.cfg
-        sig = self._to_model_rate(samples, sample_rate).astype(np.float32)
+        # stays int16 end-to-end: the host->device transfer ships half the
+        # bytes and the cast to float32 happens on device, exactly
+        sig = self._to_model_rate(samples, sample_rate)
         out: dict = {
             "sample_rate": c.sample_rate,
             "num_samples": int(len(sig)),

@@ -55,3 +55,23 @@ def test_auto_bucket_reuse():
     # the spy only runs at trace time: one entry for two lengths proves the
     # second call reused the compiled 2 s-bucket (32000-sample) program
     assert seen_shapes == [32000]
+
+
+def test_auto_int16_input_bit_identical_to_f32():
+    """int16 input ships as int16 (half the host->device bytes) and casts
+    to float32 on device — outputs must be bit-identical to pre-cast f32
+    input, in both the bucketed and the oversized/exact-length paths."""
+    pipe = FeaturePipeline(FeatureConfig())
+    rng = np.random.default_rng(7)
+    for n_samples in (17000, 33000):
+        sig16 = (rng.normal(0, 3000, n_samples)).astype(np.int16)
+        a, _ = pipe.process_signal_auto(sig16)
+        b, _ = pipe.process_signal_auto(sig16.astype(np.float32))
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    # device path (exact-length program)
+    sig16 = (rng.normal(0, 3000, 16000)).astype(np.int16)
+    a, _ = pipe.process_signal_device(sig16)
+    b, _ = pipe.process_signal_device(sig16.astype(np.float32))
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
