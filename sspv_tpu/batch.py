@@ -96,6 +96,19 @@ def _summarize(path: str, pcm_len: int, sl: dict) -> dict:
     return summary
 
 
+def _unique_npz_path(out_dir: str, path: str, used: set) -> str:
+    """Collision-proof output name: a recursive corpus walk can hold several
+    same-named files (sess1/take.wav, sess2/take.wav); basename-only output
+    would silently overwrite. Deterministic given input order."""
+    base = os.path.splitext(os.path.basename(path))[0]
+    name, k = base, 1
+    while name in used:
+        k += 1
+        name = f"{base}_{k}"
+    used.add(name)
+    return os.path.join(out_dir, name + ".npz")
+
+
 def process_corpus(
     files: list[str],
     out_dir: str | None = None,
@@ -103,13 +116,18 @@ def process_corpus(
     want_pitch: bool = False,
     decode_workers: int = 4,
     mesh=None,
+    files_per_pass: int = 256,
 ) -> list[dict]:
     """Process ``files``; returns one summary dict per file (input order).
 
-    Files are grouped by signal bucket, stacked into (B, L) masked batches
-    (B padded to a mesh-divisible size with zero-length rows), and each
-    batch is one sharded device call. Oversized files (beyond the largest
-    bucket) fall back to the scan-based long-signal path individually.
+    Files are decoded in windows of ``files_per_pass`` (bounded host
+    memory: one window of PCM plus one batch of features in flight, so a
+    10k-file corpus never materializes at once), grouped by signal bucket
+    within each window, stacked into (B, L) masked batches (B padded to a
+    mesh-divisible size with zero-length rows), and each batch is one
+    sharded device call. Feature npz files are written as each file
+    completes. Oversized files (beyond the largest bucket) fall back to
+    the scan-based long-signal path individually.
     """
     import jax
 
@@ -122,18 +140,6 @@ def process_corpus(
     c = pipe.cfg
     dp = mesh.devices.shape[0]
     buckets = pipe.SIGNAL_BUCKET_SECONDS
-
-    with ThreadPoolExecutor(max_workers=decode_workers) as pool:
-        signals = list(pool.map(_decode, files))
-
-    # group file indices by padded bucket length
-    groups: dict[int | None, list[int]] = {}
-    for i, sig in enumerate(signals):
-        groups.setdefault(
-            _bucket_len(len(sig), buckets, c.sample_rate), []
-        ).append(i)
-
-    results: list[dict | None] = [None] * len(files)
 
     def slice_block(block, row: int | None, n: int) -> dict:
         pick = (lambda x: x[row][:n]) if row is not None else (lambda x: x[:n])
@@ -165,52 +171,18 @@ def process_corpus(
             frame_size=c.frame_size, hop_size=c.hop_size,
             sample_rate=c.sample_rate,
         )
-        f0, conf = fn(psig, pvad)
+        f0, conf = fn(psig, pvad, np.float32(0.3))
         sl["f0"] = np.asarray(f0)[:n]
         sl["pitch_confidence"] = np.asarray(conf)[:n]
 
-    for target, idxs in groups.items():
-        if target is None:  # huge files: individual scan-path calls
-            for i in idxs:
-                sig = signals[i]  # int16: half the transfer bytes, cast on device
-                block, _ = pipe.process_signal_auto(sig)
-                jax.block_until_ready(block)
-                n = int(np.asarray(block.vad).shape[0])
-                sl = slice_block(block, None, n)
-                if want_pitch:
-                    add_pitch(sl, sig, None)
-                results[i] = sl
-            continue
-        for lo in range(0, len(idxs), batch_size):
-            chunk = idxs[lo : lo + batch_size]
-            b = len(chunk)
-            b_pad = -(-b // dp) * dp  # round up to a mesh-divisible batch
-            batch = np.zeros((b_pad, target), np.int16)
-            lengths = np.zeros((b_pad,), np.int32)
-            for row, i in enumerate(chunk):
-                sig = signals[i]
-                batch[row, : len(sig)] = sig
-                lengths[row] = len(sig)
-            block, _ = bp.process_batch_masked(batch, lengths)
-            jax.block_until_ready(block)
-            n_max = int(np.asarray(block.vad).shape[1])
-            for row, i in enumerate(chunk):
-                L = int(lengths[row])
-                n = 1 + (L - c.frame_size) // c.hop_size if L >= c.frame_size else 0
-                n = min(n, n_max)
-                sl = slice_block(block, row, n)
-                if want_pitch:
-                    add_pitch(sl, batch[row], target)
-                results[i] = sl
+    used_names: set = set()
 
-    summaries = []
-    for path, sig, sl in zip(files, signals, results):
-        assert sl is not None
-        summary = _summarize(path, len(sig), sl)
+    def finish(i: int, path: str, pcm_len: int, sl: dict) -> None:
+        """Summarize + write npz immediately so feature arrays free per file."""
+        summary = _summarize(path, pcm_len, sl)
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
-            base = os.path.splitext(os.path.basename(path))[0]
-            npz_path = os.path.join(out_dir, base + ".npz")
+            npz_path = _unique_npz_path(out_dir, path, used_names)
             np.savez(
                 npz_path,
                 energies=sl["energy"].astype(np.float64),
@@ -228,7 +200,62 @@ def process_corpus(
                 hop_size=np.int32(c.hop_size),
             )
             summary["npz"] = npz_path
-        summaries.append(summary)
+        summaries[i] = summary
+
+    summaries: list = [None] * len(files)
+    for wlo in range(0, len(files), files_per_pass):
+        window = list(range(wlo, min(wlo + files_per_pass, len(files))))
+        with ThreadPoolExecutor(max_workers=decode_workers) as pool:
+            signals = dict(zip(window, pool.map(
+                _decode, (files[i] for i in window)
+            )))
+
+        # group this window's file indices by padded bucket length
+        groups: dict[int | None, list[int]] = {}
+        for i in window:
+            groups.setdefault(
+                _bucket_len(len(signals[i]), buckets, c.sample_rate), []
+            ).append(i)
+
+        for target, idxs in groups.items():
+            if target is None:  # huge files: individual scan-path calls
+                for i in idxs:
+                    sig = signals[i]  # int16: half the bytes, cast on device
+                    block, _ = pipe.process_signal_auto(sig)
+                    jax.block_until_ready(block)
+                    n = int(np.asarray(block.vad).shape[0])
+                    sl = slice_block(block, None, n)
+                    if want_pitch:
+                        add_pitch(sl, sig, None)
+                    finish(i, files[i], len(sig), sl)
+                continue
+            for lo in range(0, len(idxs), batch_size):
+                chunk = idxs[lo : lo + batch_size]
+                b = len(chunk)
+                b_pad = -(-b // dp) * dp  # round up to a mesh-divisible batch
+                batch = np.zeros((b_pad, target), np.int16)
+                lengths = np.zeros((b_pad,), np.int32)
+                for row, i in enumerate(chunk):
+                    sig = signals[i]
+                    batch[row, : len(sig)] = sig
+                    lengths[row] = len(sig)
+                block, _ = bp.process_batch_masked(batch, lengths)
+                jax.block_until_ready(block)
+                n_max = int(np.asarray(block.vad).shape[1])
+                for row, i in enumerate(chunk):
+                    L = int(lengths[row])
+                    n = (
+                        1 + (L - c.frame_size) // c.hop_size
+                        if L >= c.frame_size else 0
+                    )
+                    n = min(n, n_max)
+                    sl = slice_block(block, row, n)
+                    if want_pitch:
+                        add_pitch(sl, batch[row], target)
+                    finish(i, files[i], L, sl)
+        signals.clear()
+
+    assert all(s is not None for s in summaries)
     return summaries
 
 

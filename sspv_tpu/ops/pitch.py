@@ -212,30 +212,51 @@ def pitch_track_signal(
     )
 
 
-@functools.lru_cache(maxsize=32)
 def pitch_track_signal_jit(
     frame_size: int = 320,
     hop_size: int = 160,
     sample_rate: int = 16000,
     fmin: float = 50.0,
     fmax: float = 400.0,
-    min_confidence: float = 0.3,
     acf_impl: str = "dft",
     precision: str = "high",
 ):
-    """Jitted ``(signal, vad) -> (f0, confidence)`` for these static
-    parameters, cached so repeated callers (the HTTP serving layer, the
-    batch CLI) share one callable — jit then caches executables per input
-    *shape*, so bucket-padded signals compile a bounded set of programs.
-    """
+    """Jitted ``(signal, vad, min_confidence) -> (f0, confidence)`` for these
+    static parameters, cached so repeated callers (the HTTP serving layer,
+    the batch CLI) share one callable — jit then caches executables per
+    input *shape*, so bucket-padded signals compile a bounded set of
+    programs.
 
-    def impl(signal, vad):
-        return pitch_track_signal(
+    ``min_confidence`` is a TRACED argument (it only gates the output
+    comparison, not the lag-band geometry), so confidence thresholds never
+    multiply the compile count — important for the serving layer, where the
+    threshold is client-controlled and each extra static value would cost a
+    minutes-long remote compile.
+    """
+    # normalize the key here so call-spelling differences (kwargs vs
+    # defaults omitted) cannot create duplicate jitted callables
+    return _pitch_jit_cached(
+        int(frame_size), int(hop_size), int(sample_rate),
+        float(fmin), float(fmax), str(acf_impl), str(precision),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _pitch_jit_cached(
+    frame_size: int, hop_size: int, sample_rate: int,
+    fmin: float, fmax: float, acf_impl: str, precision: str,
+):
+    def impl(signal, vad, min_confidence):
+        f0, conf = pitch_track_signal(
             signal, vad,
             frame_size=frame_size, hop_size=hop_size,
             sample_rate=sample_rate, fmin=fmin, fmax=fmax,
-            min_confidence=min_confidence, acf_impl=acf_impl,
+            min_confidence=0.0, acf_impl=acf_impl,
             precision=precision,
         )
+        gate = (jnp.asarray(vad) > 0) & (
+            conf >= jnp.asarray(min_confidence, jnp.float32)
+        )
+        return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
 
     return jax.jit(impl)

@@ -94,9 +94,12 @@ def decode_audio(
             raise AudioDecodeError(
                 "raw PCM needs a sample rate (X-Sample-Rate header or ?rate=)"
             )
+        rate = int(rate_hint)
+        if not 1 <= rate <= 768_000:
+            raise AudioDecodeError(f"implausible sample rate: {rate}")
         if len(body) % 2:
             body = body[:-1]
-        return np.frombuffer(body, dtype="<i2"), int(rate_hint)
+        return np.frombuffer(body, dtype="<i2"), rate
     raise AudioDecodeError(f"unsupported content type: {content_type}")
 
 
@@ -123,11 +126,12 @@ class FeatureService:
             _resample_to(np.asarray(samples, dtype=np.int16), sr, target)
         )
 
-    def _pitch_fn(self, fmin: float, fmax: float, min_confidence: float):
+    def _pitch_fn(self, fmin: float, fmax: float):
         """Shared jitted pitch program per band (ops.pitch caches the
         callable; jit then caches executables per padded-signal shape, and
         lengths come from the signal buckets, so the executable count stays
-        bounded)."""
+        bounded). The confidence threshold is a traced argument — it never
+        multiplies compiles."""
         from .ops.pitch import pitch_track_signal_jit
 
         c = self.pipe.cfg
@@ -135,7 +139,6 @@ class FeatureService:
             frame_size=c.frame_size, hop_size=c.hop_size,
             sample_rate=c.sample_rate,
             fmin=float(fmin), fmax=float(fmax),
-            min_confidence=float(min_confidence),
         )
 
     # -- analysis --------------------------------------------------------
@@ -199,8 +202,8 @@ class FeatureService:
             n_pad = 1 + (len(psig) - c.frame_size) // c.hop_size
             pvad = np.zeros((n_pad,), np.int32)
             pvad[:n] = vad[:n]
-            fn = self._pitch_fn(fmin, fmax, min_confidence)
-            f0, conf = fn(psig, pvad)
+            fn = self._pitch_fn(fmin, fmax)
+            f0, conf = fn(psig, pvad, np.float32(min_confidence))
             out["f0"] = np.asarray(f0)[:n]
             out["pitch_confidence"] = np.asarray(conf)[:n]
         return out
@@ -218,6 +221,22 @@ class FeatureService:
 # ---------------------------------------------------------------------------
 # HTTP layer
 # ---------------------------------------------------------------------------
+
+# Allowed pitch-band edges (Hz). fmin/fmax snap to the nearest grid point:
+# they are jit-static lag-band bounds, so the grid bounds the number of
+# compiled pitch programs a client can force (<= |grid|^2 / 2, in practice
+# only the requested ones).
+_PITCH_GRID_HZ = (
+    30, 40, 50, 60, 80, 100, 120, 150, 200, 250, 300, 400, 500, 600, 800,
+    1000, 1500, 2000,
+)
+
+
+def _snap_to_grid(hz: float) -> float:
+    if not np.isfinite(hz):
+        raise ValueError(f"non-finite frequency: {hz}")
+    return float(min(_PITCH_GRID_HZ, key=lambda g: abs(g - hz)))
+
 
 _VAD_KEYS = ("num_frames", "vad", "vad_adaptive")
 _FEATURE_KEYS = _VAD_KEYS + ("energy", "zcr", "entropy", "mfcc")
@@ -253,6 +272,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(payload)))
+        if self.close_connection:
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(payload)
 
@@ -263,6 +284,12 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply(code, body, "application/json")
 
     def _reply_error(self, code: int, message: str) -> None:
+        # Error paths may leave the request body unread; on an HTTP/1.1
+        # keep-alive connection those bytes would be parsed as the next
+        # request line (garbage 400s for every later request on the
+        # connection, up to _MAX_BODY_BYTES of them on the 413 path), so
+        # errors always close the connection instead of draining.
+        self.close_connection = True
         self._reply_json(code, {"error": message})
 
     # -- GET ---------------------------------------------------------------
@@ -293,9 +320,6 @@ class _Handler(BaseHTTPRequestHandler):
         parsed = urllib.parse.urlparse(self.path)
         query = urllib.parse.parse_qs(parsed.query)
 
-        def qfloat(name: str, default: float) -> float:
-            return float(query[name][0]) if name in query else default
-
         route = {
             "/v1/features": (_FEATURE_KEYS, False),
             "/v1/vad": (_VAD_KEYS, False),
@@ -304,6 +328,26 @@ class _Handler(BaseHTTPRequestHandler):
         if route is None:
             self._reply_error(404, f"unknown path: {parsed.path}")
             return
+
+        # Validate client-controlled knobs BEFORE reading the body: bad
+        # values are a 400, not a 500, and the pitch band snaps to a fixed
+        # grid — fmin/fmax are jit-STATIC (they set the lag-band geometry),
+        # so free-form floats would let one client force a fresh
+        # minutes-long remote compile per distinct value.
+        try:
+            def qfloat(name: str, default: float) -> float:
+                return float(query[name][0]) if name in query else default
+
+            fmin = _snap_to_grid(qfloat("fmin", 50.0))
+            fmax = _snap_to_grid(qfloat("fmax", 400.0))
+            if fmin >= fmax:
+                raise ValueError(f"fmin {fmin} must be < fmax {fmax} (after "
+                                 f"snapping to the {_PITCH_GRID_HZ} Hz grid)")
+            min_confidence = min(1.0, max(0.0, qfloat("min_confidence", 0.3)))
+        except ValueError as e:
+            self._reply_error(400, f"bad query parameter: {e}")
+            return
+
         try:
             length = int(self.headers.get("Content-Length", 0))
             if length <= 0:
@@ -328,14 +372,28 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply_error(400, f"bad request: {e}")
             return
 
+        # Cap duration at the largest signal bucket: anything longer would
+        # bypass bucketing into a fresh exact-length compile per distinct
+        # payload length (minutes each on remote-compile hardware) — an easy
+        # unauthenticated compile-DoS. Batch workloads beyond the cap belong
+        # to sspv_tpu.batch / the library API.
+        max_s = self.service.pipe.SIGNAL_BUCKET_SECONDS[-1]
+        if len(samples) > max_s * sr:
+            self._reply_error(
+                413,
+                f"audio too long: {len(samples) / sr:.0f} s > {max_s} s "
+                f"cap; use sspv_tpu.batch for long files",
+            )
+            return
+
         keys, want_pitch = route
         try:
             result = self.service.analyze(
                 samples, sr,
                 want_pitch=want_pitch,
-                fmin=qfloat("fmin", 50.0),
-                fmax=qfloat("fmax", 400.0),
-                min_confidence=qfloat("min_confidence", 0.3),
+                fmin=fmin,
+                fmax=fmax,
+                min_confidence=min_confidence,
             )
         except Exception as e:  # analysis failure is a server-side error
             logger.exception("analysis failed")
@@ -366,6 +424,10 @@ def make_server(
 def main() -> None:
     Config.setup_logging()
     Config.load_from_env()
+    from .utils.cache import enable_persistent_cache
+
+    # server restarts must not repay the cold remote compile
+    enable_persistent_cache()
     host = os.environ.get("RTP_SERVE_HOST", "127.0.0.1")
     port = int(os.environ.get("RTP_SERVE_PORT", "8571"))
     server = make_server(host, port)

@@ -131,3 +131,33 @@ def test_batch_cli_end_to_end(tmp_path):
     assert agg["files"] == len(files)
     assert os.path.exists(out / "a_short.npz")
     assert len(jsonl.read_text().splitlines()) == len(files)
+
+
+def test_npz_names_never_collide(tmp_path):
+    """Same-named files in different directories must not overwrite each
+    other's feature exports."""
+    from sspv_tpu.batch import process_corpus
+
+    (tmp_path / "s1").mkdir()
+    (tmp_path / "s2").mkdir()
+    f1 = _write_wav(tmp_path / "s1" / "take.wav", 0.5, 100.0)
+    f2 = _write_wav(tmp_path / "s2" / "take.wav", 0.5, 220.0)
+    out = tmp_path / "out"
+    summaries = process_corpus([f1, f2], out_dir=str(out))
+    paths = [s["npz"] for s in summaries]
+    assert len(set(paths)) == 2
+    assert all(os.path.exists(p) for p in paths)
+    # and the contents really are per-file (different tones -> different zcr)
+    with np.load(paths[0]) as a, np.load(paths[1]) as b:
+        assert not np.array_equal(a["zcrs"], b["zcrs"])
+
+
+def test_windowed_passes_match_single_pass(tmp_path):
+    """files_per_pass=2 over 4 files must reproduce the one-pass result
+    (bounded-memory windowing is an implementation detail, not semantics)."""
+    from sspv_tpu.batch import process_corpus
+
+    files = _corpus(tmp_path)
+    a = process_corpus(files, out_dir=None, files_per_pass=2)
+    b = process_corpus(files, out_dir=None, files_per_pass=256)
+    assert a == b

@@ -255,6 +255,65 @@ def test_http_error_paths(server):
     assert status == 404
 
 
+def test_http_bad_query_params_are_400(server):
+    samples, sr = _tone_i16(0.5)
+    wav = _wav_bytes(samples, sr)
+    for q in ("?fmin=abc", "?min_confidence=nan&fmin=inf", "?fmin=400&fmax=50"):
+        try:
+            status, _, _ = _post(server, "/v1/pitch" + q, wav)
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 400, q
+
+
+def test_http_duration_cap_is_413(server):
+    # 40000 raw samples @ 16 Hz = 2500 s of audio > the 2048 s largest
+    # bucket: must be rejected BEFORE any resample/compile work
+    try:
+        status, _, body = _post(
+            server, "/v1/vad", b"\x00\x00" * 40000,
+            content_type="application/octet-stream",
+            headers={"X-Sample-Rate": "16"},
+        )
+    except urllib.error.HTTPError as e:
+        status, body = e.code, e.read()
+    assert status == 413
+    assert b"too long" in body
+
+
+def test_http_errors_close_the_connection(server):
+    """Error paths may leave body bytes unread; the server must close the
+    keep-alive connection (advertised via Connection: close) so those bytes
+    are never parsed as the next request."""
+    import http.client
+
+    host, port = server.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    try:
+        conn.request("POST", "/v1/nope", body=b"leftover-bytes" * 100,
+                     headers={"Content-Type": "audio/wav"})
+        resp = conn.getresponse()
+        assert resp.status == 404
+        assert (resp.getheader("Connection") or "").lower() == "close"
+        resp.read()
+    finally:
+        conn.close()
+    # and a fresh request still works
+    samples, sr = _tone_i16(0.3)
+    status, _, _ = _post(server, "/v1/vad", _wav_bytes(samples, sr))
+    assert status == 200
+
+
+def test_snap_to_grid():
+    from sspv_tpu.serve import _snap_to_grid
+
+    assert _snap_to_grid(52.0) == 50.0
+    assert _snap_to_grid(395.0) == 400.0
+    assert _snap_to_grid(-5.0) == 30.0
+    with pytest.raises(ValueError):
+        _snap_to_grid(float("nan"))
+
+
 def test_http_concurrent_clients_share_one_pipeline(server):
     """8 concurrent clients, mixed endpoints; every response must equal the
     serial result (stateless requests over one shared pipeline)."""
