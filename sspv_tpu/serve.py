@@ -21,6 +21,14 @@ Endpoints
 - ``POST /v1/features``   -> per-frame energy/zcr/entropy/MFCC/VAD.
 - ``POST /v1/vad``        -> just the composite + adaptive VAD decisions.
 - ``POST /v1/pitch``      -> VAD-gated F0 track + confidence.
+- ``POST /v1/stream``     -> STREAMING: chunked raw int16 PCM at the model
+  rate in, chunked NDJSON out — one line per processed frame block as it
+  lands (``FeaturePipeline.stream`` semantics: carried overlap tail +
+  VadState, engine bucket shapes, so results are bit-identical to the
+  offline pipeline under any chunking). ``?mfcc=1`` adds MFCC rows.
+  Long-running clients should read the response concurrently with sending
+  (results stream back while audio is still arriving); a send-everything-
+  then-read client is fine up to OS socket-buffer scale.
 
 Request body: a PCM WAV file (``Content-Type: audio/wav`` or a ``RIFF``
 magic), or raw little-endian int16 PCM (``application/octet-stream``) with
@@ -208,6 +216,12 @@ class FeatureService:
             out["pitch_confidence"] = np.asarray(conf)[:n]
         return out
 
+    def stream_blocks(self, chunks):
+        """Generator: iterable of int16 sample chunks (model rate) ->
+        FeatureBlock per completed frame block, with overlap tail and VAD
+        state carried across chunks (``FeaturePipeline.stream``)."""
+        return self.pipe.stream(chunks)
+
     def warmup(self) -> None:
         """Compile the smallest-bucket programs so the first request does
         not pay the (minutes-long on remote hardware) cold compile."""
@@ -292,6 +306,113 @@ class _Handler(BaseHTTPRequestHandler):
         self.close_connection = True
         self._reply_json(code, {"error": message})
 
+    # -- streaming plumbing -------------------------------------------------
+
+    def _iter_request_chunks(self, max_total: int):
+        """Yield raw body chunks: Transfer-Encoding chunked (RFC 9112 §7.1)
+        or, for simpler clients, one chunk from a Content-Length body."""
+        te = (self.headers.get("Transfer-Encoding") or "").lower()
+        if "chunked" in te:
+            total = 0
+            while True:
+                line = self.rfile.readline(1026)
+                if not line:
+                    raise ValueError("truncated chunked body")
+                size = int(line.split(b";")[0].strip() or b"0", 16)
+                if size == 0:
+                    # consume optional trailers up to the final blank line
+                    while True:
+                        t = self.rfile.readline(1026)
+                        if t in (b"\r\n", b"\n", b""):
+                            break
+                    return
+                total += size
+                if total > max_total:
+                    raise ValueError("chunked body too large")
+                data = self.rfile.read(size)
+                if len(data) != size:
+                    raise ValueError("truncated chunk")
+                self.rfile.read(2)  # trailing CRLF
+                yield data
+        else:
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                raise ValueError("missing request body")
+            if length > max_total:
+                raise ValueError("request body too large")
+            yield self.rfile.read(length)
+
+    def _write_response_chunk(self, payload: bytes) -> None:
+        self.wfile.write(f"{len(payload):x}\r\n".encode() + payload + b"\r\n")
+
+    def _do_stream(self, query) -> None:
+        """POST /v1/stream: raw int16 PCM in (chunked or single body) at the
+        model sample rate; NDJSON per frame block out (chunked)."""
+        sr_expect = self.service.pipe.cfg.sample_rate
+        rate_hint = self.headers.get("X-Sample-Rate") or (
+            query["rate"][0] if "rate" in query else str(sr_expect)
+        )
+        if int(rate_hint) != sr_expect:
+            # chunk-wise resampling would need stateful polyphase carry;
+            # streaming clients must send model-rate PCM
+            self._reply_error(
+                400, f"/v1/stream requires {sr_expect} Hz int16 PCM"
+            )
+            return
+        want_mfcc = query.get("mfcc", ["0"])[0] not in ("0", "false", "")
+
+        def sample_chunks():
+            carry = b""
+            for raw in self._iter_request_chunks(_MAX_BODY_BYTES):
+                raw = carry + raw
+                odd = len(raw) % 2
+                if odd:
+                    raw, carry = raw[:-1], raw[-1:]
+                else:
+                    carry = b""
+                if raw:
+                    yield np.frombuffer(raw, dtype="<i2")
+
+        # connection becomes ours: chunked response, then close
+        self.close_connection = True
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("Connection", "close")
+        self.end_headers()
+        emitted = 0
+        try:
+            for block in self.service.stream_blocks(sample_chunks()):
+                row = {
+                    "block": emitted,
+                    "frames": int(np.asarray(block.vad).shape[0]),
+                    "energy": np.asarray(block.energy).tolist(),
+                    "zcr": np.asarray(block.zcr).tolist(),
+                    "entropy": np.asarray(block.entropy).tolist(),
+                    "vad": np.asarray(block.vad).astype(int).tolist(),
+                    "vad_adaptive": np.asarray(block.vad_adaptive)
+                    .astype(int).tolist(),
+                }
+                if want_mfcc:
+                    row["mfcc"] = np.asarray(block.mfcc).tolist()
+                self._write_response_chunk(
+                    json.dumps(row).encode("utf-8") + b"\n"
+                )
+                emitted += 1
+            self._write_response_chunk(
+                json.dumps({"done": True, "blocks": emitted}).encode() + b"\n"
+            )
+        except Exception as e:
+            # headers are already sent; best effort is an error line
+            logger.exception("stream failed")
+            try:
+                self._write_response_chunk(
+                    json.dumps({"error": str(e)}).encode() + b"\n"
+                )
+            except Exception:
+                pass
+        self.wfile.write(b"0\r\n\r\n")
+
     # -- GET ---------------------------------------------------------------
 
     def do_GET(self):  # noqa: N802 (stdlib naming)
@@ -319,6 +440,13 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):  # noqa: N802
         parsed = urllib.parse.urlparse(self.path)
         query = urllib.parse.parse_qs(parsed.query)
+
+        if parsed.path == "/v1/stream":
+            try:
+                self._do_stream(query)
+            except ValueError as e:
+                self._reply_error(400, str(e))
+            return
 
         route = {
             "/v1/features": (_FEATURE_KEYS, False),

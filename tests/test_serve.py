@@ -314,6 +314,79 @@ def test_snap_to_grid():
         _snap_to_grid(float("nan"))
 
 
+def _stream_request(server, samples, chunk_samples=1000, query=""):
+    """Send raw int16 PCM as a chunked POST /v1/stream; return parsed
+    NDJSON rows (http.client decodes the chunked response)."""
+    import http.client
+
+    host, port = server.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    try:
+        conn.putrequest("POST", "/v1/stream" + query)
+        conn.putheader("Content-Type", "application/octet-stream")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        body = samples.astype("<i2").tobytes()
+        step = chunk_samples * 2
+        for lo in range(0, len(body), step):
+            chunk = body[lo : lo + step]
+            conn.send(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+        conn.send(b"0\r\n\r\n")
+        resp = conn.getresponse()
+        status = resp.status
+        lines = [l for l in resp.read().decode().splitlines() if l.strip()]
+    finally:
+        conn.close()
+    return status, [json.loads(l) for l in lines]
+
+
+def test_http_stream_matches_pipeline_stream(server):
+    samples, _sr = _tone_i16(2.0)
+    chunk = 1000
+    status, rows = _stream_request(server, samples, chunk_samples=chunk)
+    assert status == 200
+    assert rows[-1] == {"done": True, "blocks": len(rows) - 1}
+    svc = server.RequestHandlerClass.service
+    expect = list(svc.pipe.stream(
+        [samples[lo : lo + chunk] for lo in range(0, len(samples), chunk)]
+    ))
+    assert len(rows) - 1 == len(expect)
+    got_vad = [v for r in rows[:-1] for v in r["vad"]]
+    want_vad = [int(v) for b in expect for v in np.asarray(b.vad)]
+    assert got_vad == want_vad
+    got_e = np.array([v for r in rows[:-1] for v in r["energy"]])
+    want_e = np.concatenate([np.asarray(b.energy) for b in expect])
+    np.testing.assert_allclose(got_e, want_e, rtol=1e-6)
+    assert "mfcc" not in rows[0]
+
+
+def test_http_stream_mfcc_and_single_body(server):
+    samples, sr = _tone_i16(0.8)
+    # non-chunked clients: one Content-Length body, still NDJSON out
+    status, _, body = _post(
+        server, "/v1/stream?mfcc=1", samples.tobytes(),
+        content_type="application/octet-stream",
+        headers={"X-Sample-Rate": str(sr)},
+    )
+    assert status == 200
+    rows = [json.loads(l) for l in body.decode().splitlines() if l.strip()]
+    assert rows[-1]["done"] is True
+    assert len(rows[0]["mfcc"]) == rows[0]["frames"]
+
+
+def test_http_stream_rejects_foreign_rate(server):
+    samples, _ = _tone_i16(0.3)
+    try:
+        status, _, _ = _post(
+            server, "/v1/stream", samples.tobytes(),
+            content_type="application/octet-stream",
+            headers={"X-Sample-Rate": "8000"},
+        )
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+
+
 def test_http_concurrent_clients_share_one_pipeline(server):
     """8 concurrent clients, mixed endpoints; every response must equal the
     serial result (stateless requests over one shared pipeline)."""
