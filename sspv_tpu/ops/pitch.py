@@ -247,11 +247,16 @@ def _pitch_jit_cached(
     fmin: float, fmax: float, acf_impl: str, precision: str,
 ):
     def impl(signal, vad, min_confidence):
+        # inner threshold -inf == "vad gate only": the OUTER traced
+        # comparison is then the sole confidence gate, preserving exact
+        # semantics for ANY traced threshold (including negative ones that
+        # keep aperiodic frames whose normalized ACF dips below 0 — an
+        # inner 0.0 would have zeroed those irrecoverably)
         f0, conf = pitch_track_signal(
             signal, vad,
             frame_size=frame_size, hop_size=hop_size,
             sample_rate=sample_rate, fmin=fmin, fmax=fmax,
-            min_confidence=0.0, acf_impl=acf_impl,
+            min_confidence=float("-inf"), acf_impl=acf_impl,
             precision=precision,
         )
         gate = (jnp.asarray(vad) > 0) & (

@@ -96,6 +96,10 @@ def decode_audio(
         if nch > 1:
             data = data[: (len(data) // nch) * nch].reshape(-1, nch).mean(axis=1)
         samples = np.clip(data, -32768.0, 32767.0).astype(np.int16)
+        if not 1 <= int(sr) <= 768_000:
+            # stdlib wave happily reads a fmt chunk claiming rate 0; an
+            # unvalidated 0 would ZeroDivisionError in the duration cap
+            raise AudioDecodeError(f"implausible WAV sample rate: {sr}")
         return samples, int(sr)
     if ct in ("application/octet-stream", "audio/l16", ""):
         if rate_hint is None:
@@ -276,6 +280,10 @@ class _Handler(BaseHTTPRequestHandler):
     # set by make_server()
     service: FeatureService = None  # type: ignore[assignment]
     protocol_version = "HTTP/1.1"
+    # socket timeout: an idle client (opened /v1/stream, went silent) must
+    # not pin a server thread forever — reads raise timeout and the handler
+    # exits instead of leaking one thread per stalled connection
+    timeout = 600
 
     # -- plumbing ---------------------------------------------------------
 
@@ -359,11 +367,40 @@ class _Handler(BaseHTTPRequestHandler):
                 400, f"/v1/stream requires {sr_expect} Hz int16 PCM"
             )
             return
+        ct = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
+        if ct not in ("application/octet-stream", "audio/l16", ""):
+            # a WAV body would be parsed as raw samples (header bytes become
+            # garbage audio and its real rate is never checked) — refuse
+            self._reply_error(
+                400, f"/v1/stream takes raw int16 PCM, not {ct}; "
+                "use /v1/features for container formats",
+            )
+            return
+        # validate what CAN be validated before the 200 goes out: a
+        # ValueError raised lazily inside the generator lands after headers
+        # are sent and would surface as an in-band error row under HTTP 200
+        te = (self.headers.get("Transfer-Encoding") or "").lower()
+        if "chunked" not in te:
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                self._reply_error(400, "missing request body")
+                return
+            if length > _MAX_BODY_BYTES:
+                self._reply_error(413, "request body too large")
+                return
         want_mfcc = query.get("mfcc", ["0"])[0] not in ("0", "false", "")
 
         def sample_chunks():
             carry = b""
+            first = True
             for raw in self._iter_request_chunks(_MAX_BODY_BYTES):
+                if first:
+                    first = False
+                    if raw[:4] == b"RIFF":
+                        raise ValueError(
+                            "body looks like a WAV container; /v1/stream "
+                            "takes raw int16 PCM"
+                        )
                 raw = carry + raw
                 odd = len(raw) % 2
                 if odd:
@@ -411,7 +448,10 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             except Exception:
                 pass
-        self.wfile.write(b"0\r\n\r\n")
+        try:
+            self.wfile.write(b"0\r\n\r\n")
+        except OSError:
+            pass  # client dropped mid-stream (routine for Ctrl-C'd pipes)
 
     # -- GET ---------------------------------------------------------------
 
@@ -471,7 +511,11 @@ class _Handler(BaseHTTPRequestHandler):
             if fmin >= fmax:
                 raise ValueError(f"fmin {fmin} must be < fmax {fmax} (after "
                                  f"snapping to the {_PITCH_GRID_HZ} Hz grid)")
-            min_confidence = min(1.0, max(0.0, qfloat("min_confidence", 0.3)))
+            mc = qfloat("min_confidence", 0.3)
+            if not np.isfinite(mc):
+                # NaN would silently clamp to 0.0 and disable gating
+                raise ValueError(f"non-finite min_confidence: {mc}")
+            min_confidence = min(1.0, max(0.0, mc))
         except ValueError as e:
             self._reply_error(400, f"bad query parameter: {e}")
             return

@@ -304,6 +304,76 @@ def test_http_errors_close_the_connection(server):
     assert status == 200
 
 
+def test_decode_rejects_zero_rate_wav():
+    # stdlib wave reads a fmt chunk claiming rate 0; must be a decode error
+    samples, sr = _tone_i16(0.1)
+    wav = bytearray(_wav_bytes(samples, sr))
+    assert wav[24:28] == sr.to_bytes(4, "little")
+    wav[24:28] = (0).to_bytes(4, "little")  # framerate field
+    byte_rate = (sr * 2).to_bytes(4, "little")
+    idx = bytes(wav).find(byte_rate)
+    if idx >= 0:
+        wav[idx : idx + 4] = (0).to_bytes(4, "little")
+    with pytest.raises(AudioDecodeError):
+        decode_audio(bytes(wav), "audio/wav")
+
+
+def test_http_pitch_nan_min_confidence_alone_is_400(server):
+    samples, sr = _tone_i16(0.3)
+    try:
+        status, _, _ = _post(
+            server, "/v1/pitch?min_confidence=nan", _wav_bytes(samples, sr)
+        )
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+
+
+def test_http_stream_empty_body_is_400_not_inband(server):
+    try:
+        status, _, _ = _post(
+            server, "/v1/stream", b"",
+            content_type="application/octet-stream",
+        )
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+
+
+def test_http_stream_rejects_wav(server):
+    samples, sr = _tone_i16(0.3)
+    wav = _wav_bytes(samples, sr)
+    # honest Content-Type: rejected up front with a real 400
+    try:
+        status, _, _ = _post(server, "/v1/stream", wav,
+                             content_type="audio/wav")
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+    # mislabeled RIFF body: sniffed in-band (headers already sent)
+    status, _, body = _post(server, "/v1/stream", wav,
+                            content_type="application/octet-stream")
+    rows = [json.loads(l) for l in body.decode().splitlines() if l.strip()]
+    assert any("error" in r and "WAV" in r["error"] for r in rows)
+
+
+def test_pitch_jit_negative_threshold_keeps_low_confidence_frames():
+    """A negative traced threshold must disable confidence gating entirely
+    (the inner static gate is -inf, so the outer traced comparison is the
+    only confidence gate)."""
+    from sspv_tpu.ops.pitch import pitch_track_signal_jit
+
+    rng = np.random.default_rng(3)
+    sig = rng.normal(0, 3000, 16000).astype(np.float32)  # aperiodic noise
+    n = 1 + (len(sig) - 320) // 160
+    vad = np.ones((n,), np.int32)
+    fn = pitch_track_signal_jit()
+    f0_all, conf = fn(sig, vad, np.float32(-1.0))
+    assert (np.asarray(f0_all) > 0).all()  # nothing gated out
+    f0_none, _ = fn(sig, vad, np.float32(2.0))
+    assert (np.asarray(f0_none) == 0).all()  # conf <= 1 < 2 gates all
+
+
 def test_snap_to_grid():
     from sspv_tpu.serve import _snap_to_grid
 
