@@ -38,7 +38,8 @@ same ladder as ``FileAudioSource``); multi-channel audio is mean-downmixed.
 Response: JSON (default) or ``?fmt=npz`` for a compressed npz payload.
 
 Run: ``python -m sspv_tpu.serve`` (env: ``RTP_SERVE_HOST``,
-``RTP_SERVE_PORT``, ``RTP_SERVE_WARMUP=0`` to skip the warm-up compile).
+``RTP_SERVE_PORT``; ``RTP_SERVE_WARMUP=0`` skips the warm-up compile,
+``=all`` pre-compiles every signal bucket for production).
 """
 
 from __future__ import annotations
@@ -226,14 +227,20 @@ class FeatureService:
         state carried across chunks (``FeaturePipeline.stream``)."""
         return self.pipe.stream(chunks)
 
-    def warmup(self) -> None:
-        """Compile the smallest-bucket programs so the first request does
-        not pay the (minutes-long on remote hardware) cold compile."""
+    def warmup(self, all_buckets: bool = False) -> None:
+        """Compile bucket programs up front so requests do not pay the
+        (minutes-long on remote hardware) cold compile: the smallest bucket
+        by default, every signal bucket with ``all_buckets=True`` (a
+        production server whose clients send arbitrary-length payloads)."""
         c = self.pipe.cfg
         sr = c.sample_rate
-        sec = self.pipe.SIGNAL_BUCKET_SECONDS[0]
-        sig = np.zeros((sec * sr,), np.int16)
-        self.analyze(sig, sr, want_pitch=True)
+        buckets = (
+            self.pipe.SIGNAL_BUCKET_SECONDS
+            if all_buckets else self.pipe.SIGNAL_BUCKET_SECONDS[:1]
+        )
+        for sec in buckets:
+            sig = np.zeros((sec * sr,), np.int16)
+            self.analyze(sig, sr, want_pitch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -603,9 +610,10 @@ def main() -> None:
     host = os.environ.get("RTP_SERVE_HOST", "127.0.0.1")
     port = int(os.environ.get("RTP_SERVE_PORT", "8571"))
     server = make_server(host, port)
-    if os.environ.get("RTP_SERVE_WARMUP", "1") not in ("0", "false", "no"):
+    warm = os.environ.get("RTP_SERVE_WARMUP", "1")
+    if warm not in ("0", "false", "no"):
         logger.info("warming up (first compile can take minutes on remote hardware)")
-        server.RequestHandlerClass.service.warmup()
+        server.RequestHandlerClass.service.warmup(all_buckets=(warm == "all"))
     logger.info("serving on http://%s:%d", *server.server_address[:2])
     try:
         server.serve_forever()

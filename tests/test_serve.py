@@ -481,3 +481,21 @@ def test_http_concurrent_clients_share_one_pipeline(server):
         status, res = r
         assert status == 200
         np.testing.assert_array_equal(np.asarray(res["vad"]), expect["vad"])
+
+
+def test_warmup_all_buckets_compiles_each_bucket(monkeypatch):
+    svc = FeatureService()
+    seen = []
+    real = svc.analyze
+    monkeypatch.setattr(
+        svc, "analyze", lambda sig, sr, **kw: seen.append(len(sig)) or real(
+            sig[: Config.SAMPLE_RATE * 2], sr, **kw
+        )
+    )
+    svc.warmup(all_buckets=True)
+    assert seen == [
+        s * Config.SAMPLE_RATE for s in svc.pipe.SIGNAL_BUCKET_SECONDS
+    ]
+    seen.clear()
+    svc.warmup()
+    assert seen == [svc.pipe.SIGNAL_BUCKET_SECONDS[0] * Config.SAMPLE_RATE]
