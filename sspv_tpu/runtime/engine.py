@@ -51,6 +51,22 @@ logger = logging.getLogger(__name__)
 __all__ = ["AudioRuntime"]
 
 
+def _parse_flag(value, default: bool, name: str) -> bool:
+    """Defensive bool knob parsing (YAML overrides arrive uncoerced —
+    ``TPU_LOW_LATENCY: 'true'`` is a string): garbage warns and keeps the
+    default instead of aborting engine construction."""
+    try:
+        return bool(int(value or 0))
+    except (TypeError, ValueError):
+        s = str(value).strip().lower()
+        if s in ("true", "yes", "on"):
+            return True
+        if s in ("false", "no", "off", ""):
+            return False
+        logger.warning("unparseable %s=%r; keeping default %s", name, value, default)
+        return default
+
+
 def _parse_buckets(value) -> tuple[int, ...]:
     """Normalize TPU_STREAM_BUCKETS from tuple/list or an env-var string like
     ``"64,512"`` (Config.load_from_env assigns raw strings to non-numeric
@@ -89,15 +105,23 @@ class AudioRuntime:
         self.format = Config.AUDIO_FORMAT
         self.chunk = Config.CHUNK_SIZE
         self.audio_source: AudioSource = audio_source or _default_mic_source()
-        self.rate = getattr(self.audio_source, "sample_rate", Config.SAMPLE_RATE)
+        # sources that only learn their rate in open() report 0 here; use
+        # the model rate for backpressure sizing until the capture thread
+        # refreshes it post-open
+        self.rate = int(
+            getattr(self.audio_source, "sample_rate", Config.SAMPLE_RATE)
+            or Config.SAMPLE_RATE
+        )
         self.channels = getattr(self.audio_source, "channels", Config.CHANNELS)
         self.frame_size = Config.FRAME_SIZE
         self.hop_size = Config.HOP_SIZE
 
         self.pipeline = pipeline or FeaturePipeline(FeatureConfig.from_config(Config))
-        from ..ops.windows import get_window
-
-        self.window = get_window(Config.WINDOW_TYPE, self.frame_size)
+        # surface parity with the reference engine (rtvp/engine.py:83), which
+        # windows frames host-side in its per-frame loop; here the window is
+        # applied on device, so expose the PIPELINE's window rather than
+        # rebuilding one that could silently disagree with it
+        self.window = np.asarray(self.pipeline._window)
         self.energy_threshold = Config.ENERGY_THRESHOLD
         self.zcr_threshold = Config.ZCR_THRESHOLD
 
@@ -149,8 +173,8 @@ class AudioRuntime:
         # Low-latency mode: no in-flight block (each dispatch is materialized
         # immediately) + an extra small bucket so a near-real-time cadence
         # (a handful of frames per capture chunk) doesn't pad to 32.
-        self._low_latency = bool(
-            int(getattr(Config, "TPU_LOW_LATENCY", 0) or 0)
+        self._low_latency = _parse_flag(
+            getattr(Config, "TPU_LOW_LATENCY", 0), False, "TPU_LOW_LATENCY"
         )
         if self._low_latency and self._buckets[0] > 8:
             self._buckets = (8,) + self._buckets
@@ -162,8 +186,9 @@ class AudioRuntime:
         # leak rate too (docs/benchmarks.md soak table). Falls back to the
         # frames layout for exotic geometries (frame != 2*hop) or
         # non-positive windows, where the view path doesn't apply.
-        self._samples_dispatch = bool(
-            int(getattr(Config, "TPU_STREAM_SAMPLES_DISPATCH", 1) or 0)
+        self._samples_dispatch = _parse_flag(
+            getattr(Config, "TPU_STREAM_SAMPLES_DISPATCH", 1), True,
+            "TPU_STREAM_SAMPLES_DISPATCH",
         ) and self.pipeline.supports_samples_dispatch() and (
             self.frame_size == self.pipeline.cfg.frame_size
             and self.hop_size == self.pipeline.cfg.hop_size
@@ -196,7 +221,13 @@ class AudioRuntime:
         if self.is_running:
             self.stop()
         self.audio_source = audio_source or _default_mic_source()
-        self.rate = getattr(self.audio_source, "sample_rate", Config.SAMPLE_RATE)
+        # sources that only learn their rate in open() report 0 here; use
+        # the model rate for backpressure sizing until the capture thread
+        # refreshes it post-open
+        self.rate = int(
+            getattr(self.audio_source, "sample_rate", Config.SAMPLE_RATE)
+            or Config.SAMPLE_RATE
+        )
         self.channels = getattr(self.audio_source, "channels", Config.CHANNELS)
         self.auto_stop_on_eof = bool(auto_stop_on_eof)
         self._update_max_pending()
@@ -225,6 +256,10 @@ class AudioRuntime:
     def start(self) -> None:
         if self.is_running:
             return
+        # a fresh run must not look failed to error-polling consumers (the
+        # headless UI stops on any non-None last_error): a stale error from
+        # a previous source would otherwise kill recovered sessions
+        self.last_error = None
         self.is_running = True
         self._capture_thread = threading.Thread(target=self._capture_loop, daemon=True)
         self._process_thread = threading.Thread(target=self._process_loop, daemon=True)
@@ -252,6 +287,14 @@ class AudioRuntime:
         try:
             self.audio_source.open()
             opened = True
+            # FileAudioSource built without a target rate only learns its
+            # true sample rate in open(); refresh so the backpressure window
+            # (seconds -> samples) and the npz sample_rate field use the real
+            # rate instead of the pre-open 0.
+            sr = int(getattr(self.audio_source, "sample_rate", 0) or 0)
+            if sr and sr != self.rate:
+                self.rate = sr
+                self._update_max_pending()
             while self.is_running:
                 data = self.audio_source.read(self.chunk)
                 if data is None or len(data) == 0:

@@ -43,14 +43,23 @@ class VisualizationUI:
                  headless: bool | None = None, **headless_kwargs):
         self.runtime = runtime
         use_headless = headless if headless is not None else not _qt_available()
-        if use_headless:
+        if not use_headless:
+            try:
+                from .qt import QtVisualizer
+
+                self._impl = QtVisualizer(runtime, title=title)
+                return
+            except Exception:
+                # importability is not startability: Qt bindings import fine
+                # on a display-less host but QApplication construction fails
+                # to load a platform plugin — fall back instead of dying
+                logger.exception(
+                    "Qt GUI failed to start; falling back to headless"
+                )
+        else:
             logger.info("pyqtgraph/Qt unavailable or headless requested; "
                         "using headless visualizer")
-            self._impl = HeadlessVisualizer(runtime, title=title, **headless_kwargs)
-        else:
-            from .qt import QtVisualizer
-
-            self._impl = QtVisualizer(runtime, title=title)
+        self._impl = HeadlessVisualizer(runtime, title=title, **headless_kwargs)
 
     def run(self):
         return self._impl.run()

@@ -74,7 +74,13 @@ class HeadlessVisualizer:
             self.runtime.stop()
             self.model.poll()
         if self.snapshot_path:
-            self.render_png(self.snapshot_path)
+            try:
+                self.render_png(self.snapshot_path)
+            except ImportError as e:
+                # a minimal install without matplotlib must not crash the
+                # whole run at the very end — the session's work is done;
+                # the snapshot degrades to a warning
+                logger.warning("snapshot skipped (matplotlib unavailable): %s", e)
 
     def render_png(self, path: str) -> str:
         """Render the 4 stacked plots to a PNG and return the path."""

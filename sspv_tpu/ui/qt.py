@@ -193,13 +193,20 @@ class QtVisualizer:
             if os.path.isfile(path):
                 return FileAudioSource(path, sample_rate=Config.SAMPLE_RATE)
             files = collect_audio_files(path)
+            if not files:
+                # a typo'd custom path must NOT silently fall back to the
+                # live microphone (None -> mic); surface it to the user
+                raise ValueError(f"no audio found at custom path: {path!r}")
         else:
             files = collect_audio_files(default_audio_dir())
         if not files:
             return None
-        if self.radio_one.isChecked() and self.file_combo.count():
-            sel = self.file_combo.currentData() or files[0]
-            files = [sel]
+        if self.radio_one.isChecked():
+            # "test one file": the combo selection if it belongs to the
+            # CURRENT file set (a stale selection from a previously browsed
+            # directory must not bypass the chosen source), else the first
+            sel = self.file_combo.currentData() if self.file_combo.count() else None
+            files = [sel if sel in files else files[0]]
         elif self.file_combo.count():
             # start the playlist at the combo selection (reference
             # visualization.py:854-881 reorders similarly)
@@ -243,12 +250,16 @@ class QtVisualizer:
         self.curves["waveform"].setData(m.waveform)
         self.curves["energy"].setData(m.energies)
         self.curves["zcr"].setData(m.zcrs)
-        if m.vads.size:
-            x = np.arange(m.vads.size + 1)
-            self.curves["vad"].setData(x, m.vads)
-        for key, plot in self.plots.items():
-            lo, hi = m.ranges[key]
-            plot.setYRange(lo, hi, padding=0)
+        # always set (x of len N+1 satisfies the stepMode contract for N==0
+        # too): a cleared session must clear the VAD trace like the others
+        self.curves["vad"].setData(np.arange(m.vads.size + 1), m.vads)
+        if m.auto_range:
+            # only drive ranges while auto-range is on — forcing setYRange
+            # every tick with the frozen ranges would fight the user's
+            # manual zoom/pan the moment they uncheck the box
+            for key, plot in self.plots.items():
+                lo, hi = m.ranges[key]
+                plot.setYRange(lo, hi, padding=0)
         self.progress_label.setText(m.progress())
         self.result_label.setText(m.summary())
         running = bool(getattr(self.runtime, "is_running", False))

@@ -197,3 +197,54 @@ def test_set_audio_source_resets_buffers():
     assert len(rt.energy_history) == 0
     _run_engine_to_eof(rt)
     assert len(rt.processed_data) > 0
+
+
+def test_engine_learns_file_rate_after_open(tmp_path):
+    """A FileAudioSource built WITHOUT a target rate reports sample_rate 0
+    until open(); the engine must pick up the real rate for backpressure
+    sizing and the npz sample_rate field."""
+    import wave
+
+    from sspv_tpu.runtime.audio_source import FileAudioSource
+
+    sr = 8000
+    path = str(tmp_path / "native8k.wav")
+    t = np.arange(sr // 2) / sr
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((np.sin(2 * np.pi * 100 * t) * 9000)
+                      .astype("<i2").tobytes())
+    src = FileAudioSource(path)  # no target rate -> pre-open rate is 0
+    assert src.sample_rate == 0
+    rt = AudioRuntime(audio_source=src)
+    assert rt.rate == Config.SAMPLE_RATE  # sane default until open
+    rt.auto_stop_on_eof = True
+    _run_engine_to_eof(rt)
+    assert rt.rate == sr
+    out = rt.save_data(str(tmp_path))
+    with np.load(out) as z:
+        assert int(z["sample_rate"]) == sr
+
+
+def test_engine_start_clears_stale_error():
+    rt = AudioRuntime(audio_source=DummyAudioSource(duration_sec=0.2))
+    rt.last_error = RuntimeError("old failure")
+    rt.auto_stop_on_eof = True
+    _run_engine_to_eof(rt)
+    assert rt.last_error is None
+    assert len(rt.processed_data) > 0
+
+
+def test_parse_flag_defensive():
+    from sspv_tpu.runtime.engine import _parse_flag
+
+    assert _parse_flag("1", False, "X") is True
+    assert _parse_flag(0, True, "X") is False
+    assert _parse_flag("true", False, "X") is True
+    assert _parse_flag("False", True, "X") is False
+    assert _parse_flag("", True, "X") is False
+    assert _parse_flag(None, True, "X") is False  # falsy -> off
+    assert _parse_flag("garbage", True, "X") is True  # keeps default
+    assert _parse_flag("garbage", False, "X") is False

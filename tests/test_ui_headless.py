@@ -95,3 +95,17 @@ def test_collect_audio_files(tmp_path):
     got = collect_audio_files(str(tmp_path))
     assert [os.path.basename(f) for f in got] == ["a.WAV", "b.wav"]
     assert collect_audio_files(str(tmp_path / "missing")) == []
+
+
+def test_headless_run_survives_missing_matplotlib(monkeypatch):
+    """snapshot rendering is on by default; a minimal install without
+    matplotlib must log a warning at the end, not crash the whole run."""
+    from sspv_tpu.ui.headless import HeadlessVisualizer
+
+    rt = FakeRuntime()
+    v = HeadlessVisualizer(rt, duration=0.05, snapshot_path="unused.png")
+    monkeypatch.setattr(
+        v, "render_png",
+        lambda path: (_ for _ in ()).throw(ImportError("no matplotlib")),
+    )
+    v.run()  # must not raise

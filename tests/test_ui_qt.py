@@ -189,3 +189,94 @@ def test_visualization_ui_selects_qt_backend(qtvis, monkeypatch):
     # run() enters the (stub) event loop and returns its exit code
     assert vui.run() == 0
     assert vui._impl.win._visible
+
+
+def test_qt_custom_bad_path_raises_not_mic(qtvis, tmp_path):
+    """A typo'd custom path must surface an error, never silently fall back
+    to the live microphone."""
+    rt = AudioRuntime(audio_source=DummyAudioSource(duration_sec=0.1))
+    ui = qtvis.QtVisualizer(rt)
+    ui.radio_custom.setChecked(True)
+    ui.radio_scan.setChecked(False)
+    ui.radio_mic.setChecked(False)
+    ui.path_edit.setText(str(tmp_path / "typo.wav"))
+    with pytest.raises(ValueError):
+        ui._build_source()
+    ui._on_start()  # handler catches it and shows the error dialog
+    crits = [s for s in qt_stubs.QMessageBox.shown if s[0] == "critical"]
+    assert any("typo.wav" in c[2] for c in crits)
+
+
+def test_qt_stale_combo_selection_does_not_leak_across_dirs(qtvis, monkeypatch,
+                                                            tmp_path):
+    """'Test one file' with a combo still holding another directory's files
+    must pick from the CURRENT source set, not the stale selection."""
+    from sspv_tpu.runtime.audio_source import PlaylistAudioSource
+
+    dir_a = tmp_path / "a"; dir_a.mkdir()
+    dir_b = tmp_path / "b"; dir_b.mkdir()
+    _write_wav(dir_a / "a1.wav"); _write_wav(dir_a / "a2.wav")
+    b1 = _write_wav(dir_b / "b1.wav")
+    rt = AudioRuntime(audio_source=DummyAudioSource(duration_sec=0.1))
+    ui = qtvis.QtVisualizer(rt)
+    qt_stubs.QFileDialog.next_dir = str(dir_a)
+    ui._pick_dir()  # combo now holds dir A's files; path_edit = dir A
+    assert ui.file_combo.count() == 2
+    ui.path_edit.setText(str(dir_b))  # user re-points at dir B
+    ui.radio_one.setChecked(True)
+    src = ui._build_source()
+    assert isinstance(src, PlaylistAudioSource)
+    assert src._paths == [b1]  # NOT a stale dir-A path
+
+
+def test_qt_autorange_toggle_releases_ranges_and_vad_clears(qtvis, monkeypatch):
+    rt = AudioRuntime(audio_source=DummyAudioSource(duration_sec=0.3))
+    ui = qtvis.QtVisualizer(rt)
+    monkeypatch.setattr(
+        rt, "set_audio_source",
+        lambda src, auto_stop_on_eof=False: AudioRuntime.set_audio_source(
+            rt, DummyAudioSource(duration_sec=0.3),
+            auto_stop_on_eof=auto_stop_on_eof,
+        ),
+    )
+    ui.chk_autostop.setChecked(True)
+    ui._on_start()
+    t0 = time.time()
+    while rt.is_running and time.time() - t0 < 60:
+        ui._update()
+        time.sleep(0.01)
+    ui._on_stop()  # join + drain the in-flight block
+    ui._update()
+    assert rt.last_error is None
+    assert len(rt.processed_data) > 0
+    # auto-range on (default): ranges were driven
+    assert all(p.y_range is not None for p in ui.plots.values())
+    # uncheck -> ranges released (user zoom/pan must not be fought)
+    for p in ui.plots.values():
+        p.y_range = None
+    ui.chk_autorange.setChecked(False)
+    ui._update()
+    assert all(p.y_range is None for p in ui.plots.values())
+    # vad curve had data; clearing the session must clear the trace too
+    assert ui.curves["vad"].y is not None and ui.curves["vad"].y.size > 0
+    rt.set_audio_source(DummyAudioSource(duration_sec=0.1))
+    ui._update()
+    assert ui.curves["vad"].y.size == 0
+
+
+def test_visualization_ui_falls_back_when_qt_constructor_fails(qtvis,
+                                                               monkeypatch):
+    """Importable Qt but unstartable GUI (no display: QApplication raises)
+    must fall back to the headless visualizer, not die."""
+    import sspv_tpu.ui as ui_pkg
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise RuntimeError("xcb platform plugin failed")
+
+    monkeypatch.setattr("sspv_tpu.ui.qt.QtVisualizer", Boom)
+    rt = AudioRuntime(audio_source=DummyAudioSource(duration_sec=0.1))
+    v = ui_pkg.VisualizationUI(rt, headless=False, snapshot_path=None)
+    from sspv_tpu.ui.headless import HeadlessVisualizer
+
+    assert isinstance(v._impl, HeadlessVisualizer)
