@@ -23,9 +23,7 @@ def analyze_file(path: str, png: str | None = None, npz: str | None = None) -> d
     import jax
 
     from .ops.pipeline import FeatureConfig, FeaturePipeline
-    from .ops.pitch import pitch_track
     from .runtime.audio_source import FileAudioSource
-    from .utils.native import frame_i16_to_f32
 
     src = FileAudioSource(path, sample_rate=Config.SAMPLE_RATE)
     src.open()
@@ -42,16 +40,11 @@ def analyze_file(path: str, png: str | None = None, npz: str | None = None) -> d
     entropy = np.asarray(block.entropy)
     vad = np.asarray(block.vad)
     mfcc = np.asarray(block.mfcc)
-    frames = frame_i16_to_f32(pcm, Config.FRAME_SIZE, Config.HOP_SIZE)
-    # "dft" ACF: same values as the direct sliding sums within the parity
-    # gate, but three matmuls instead of an unrolled 320-slice program —
-    # the direct form's compile alone is minutes on remote-compile TPU.
-    f0, conf = (
-        pitch_track(frames, vad, Config.SAMPLE_RATE, acf_impl="dft")
-        if frames.shape[0]
-        else (np.zeros(0, np.float32), np.zeros(0, np.float32))
-    )
-    f0 = np.asarray(f0)
+    # Signal-view pitch (same path as the batch CLI and the serving layer):
+    # the ACF spectrum comes from hop-phase matmuls on the already-shipped
+    # int16 signal — no host re-framing, no (F, 320) f32 frame matrix
+    # (2x-duplicated samples, 4x the transfer bytes) ever materializes.
+    f0, conf = pipe.pitch_signal_auto(pcm, vad)
 
     voiced_f0 = f0[f0 > 0]
     summary = {

@@ -152,28 +152,10 @@ def process_corpus(
             "vad_adaptive": np.asarray(pick(block.vad_adaptive)).astype(np.int32),
         }
 
-    def add_pitch(sl: dict, sig_f32: np.ndarray, target: int | None) -> None:
-        from .ops.pitch import pitch_track_signal_jit
-
-        n = sl["vad"].shape[0]
-        if n == 0:
-            sl["f0"] = np.zeros((0,), np.float32)
-            sl["pitch_confidence"] = np.zeros((0,), np.float32)
-            return
-        psig = (
-            np.pad(sig_f32, (0, target - len(sig_f32)))
-            if target and target > len(sig_f32) else sig_f32
+    def add_pitch(sl: dict, sig: np.ndarray, _target=None) -> None:
+        sl["f0"], sl["pitch_confidence"] = pipe.pitch_signal_auto(
+            sig, sl["vad"]
         )
-        n_pad = 1 + (len(psig) - c.frame_size) // c.hop_size
-        pvad = np.zeros((n_pad,), np.int32)
-        pvad[:n] = sl["vad"]
-        fn = pitch_track_signal_jit(
-            frame_size=c.frame_size, hop_size=c.hop_size,
-            sample_rate=c.sample_rate,
-        )
-        f0, conf = fn(psig, pvad, np.float32(0.3))
-        sl["f0"] = np.asarray(f0)[:n]
-        sl["pitch_confidence"] = np.asarray(conf)[:n]
 
     used_names: set = set()
 

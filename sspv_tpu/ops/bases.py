@@ -107,7 +107,9 @@ def _dft_bases_cached(frame_size: int, n_fft: int) -> tuple[np.ndarray, np.ndarr
 def dft_bases(frame_size: int, n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     """(cos, sin) rDFT bases: ``spectrum = x @ cos + 1j * (x @ sin)``."""
     c, s = _dft_bases_cached(int(frame_size), int(n_fft))
-    return c, s
+    # .copy() like every sibling helper: callers mutating a returned basis
+    # must not poison the cache for later pipelines in the process
+    return c.copy(), s.copy()
 
 
 @functools.lru_cache(maxsize=16)
@@ -128,7 +130,8 @@ def windowed_dft_bases(
 ) -> tuple[np.ndarray, np.ndarray]:
     """DFT bases with the analysis window folded in, so the fused kernel can go
     straight from raw frames to the windowed spectrum in one matmul pair."""
-    return _windowed_dft_cached(int(frame_size), int(n_fft), str(window_type))
+    wc, ws = _windowed_dft_cached(int(frame_size), int(n_fft), str(window_type))
+    return wc.copy(), ws.copy()
 
 
 @functools.lru_cache(maxsize=16)
@@ -168,7 +171,10 @@ def merged_windowed_dft_bases(
     """
     if int(n_fft) % 2 != 0:
         raise ValueError("merged DFT layout requires even n_fft")
-    return _merged_windowed_dft_cached(int(frame_size), int(n_fft), str(window_type))
+    merged, nyq = _merged_windowed_dft_cached(
+        int(frame_size), int(n_fft), str(window_type)
+    )
+    return merged.copy(), nyq.copy()
 
 
 @functools.lru_cache(maxsize=16)

@@ -202,8 +202,12 @@ def fused_features(
     entropy spectrum is computed outside the kernel with a second matmul pair.
     """
     if isinstance(precision, str):
-        # accept the documented config spellings ("highest"/"high"/"default")
-        precision = jax.lax.Precision(precision.lower())
+        # same resolver as every other matmul path (ops/precision.resolve:
+        # unknown spellings map to HIGHEST, the safe end, instead of raising
+        # only on the Pallas path)
+        from .precision import resolve
+
+        precision = resolve(precision)
     if precision == jax.lax.Precision.HIGH:
         # Mosaic lowers DEFAULT and HIGHEST dots only; HIGH (bf16x3 passes)
         # has no in-kernel lowering rule and raises NotImplementedError at

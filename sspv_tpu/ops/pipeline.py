@@ -209,6 +209,10 @@ class FeaturePipeline:
         self._use_view_kernel = (
             bool(c.view_kernel)
             and _pallas_available()
+            # the kernel's matmuls are manual 3-pass bf16 (== "high"); a
+            # pinned "highest" (strict f32 parity) must NOT be silently
+            # downgraded, so the XLA view path serves that setting
+            and c.precision != "highest"
             and c.frame_size == 2 * c.hop_size
             and self._wm is not None
             and self._wc_ent is None
@@ -347,18 +351,16 @@ class FeaturePipeline:
         )
         return block, new_state
 
-    # Column layout of the packed block output (process_block_packed):
+    # Column layout of the packed feature block (split_packed_block is the
+    # inverse; the prefix order is frozen — see PACKED_PREFIX_COLS):
     # 0 energy, 1 zcr, 2 entropy, 3 vad, 4 vad_adaptive, 5: mfcc (num_ceps).
     PACKED_PREFIX_COLS = 5
 
-    def _process_block_packed_impl(
-        self, frames_raw: jnp.ndarray, packed_state: jnp.ndarray, n_valid: jnp.ndarray
-    ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        c = self.cfg
-        state = vad_ops.unpack_state(packed_state, c.history_len)
-        valid = jnp.arange(frames_raw.shape[0], dtype=jnp.int32) < n_valid
-        block, new_state = self._process_block_impl(frames_raw, state, valid)
-        out = jnp.concatenate(
+    def _pack_block(self, block: FeatureBlock) -> jnp.ndarray:
+        """One (F, PACKED_PREFIX_COLS + num_ceps) f32 matrix — the single
+        shared packer for both packed dispatch paths, so the column layout
+        can never drift between them."""
+        return jnp.concatenate(
             [
                 block.energy[:, None],
                 block.zcr[:, None],
@@ -370,7 +372,15 @@ class FeaturePipeline:
             ],
             axis=1,
         )
-        return out, vad_ops.pack_state(new_state)
+
+    def _process_block_packed_impl(
+        self, frames_raw: jnp.ndarray, packed_state: jnp.ndarray, n_valid: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        c = self.cfg
+        state = vad_ops.unpack_state(packed_state, c.history_len)
+        valid = jnp.arange(frames_raw.shape[0], dtype=jnp.int32) < n_valid
+        block, new_state = self._process_block_impl(frames_raw, state, valid)
+        return self._pack_block(block), vad_ops.pack_state(new_state)
 
     def process_block_packed(
         self, frames_raw, packed_state, n_valid: int
@@ -422,18 +432,7 @@ class FeaturePipeline:
         block, new_state = self._process_signal_view_impl(
             x, state, n, true_n=true_n
         )
-        out = jnp.concatenate(
-            [
-                block.energy[:, None],
-                block.zcr[:, None],
-                block.entropy[:, None],
-                block.vad.astype(jnp.float32)[:, None],
-                block.vad_adaptive.astype(jnp.float32)[:, None],
-                block.mfcc,
-            ],
-            axis=1,
-        )
-        return out, vad_ops.pack_state(new_state)
+        return self._pack_block(block), vad_ops.pack_state(new_state)
 
     def process_signal_packed(
         self, samples, packed_state, true_len: int
@@ -777,6 +776,49 @@ class FeaturePipeline:
             jnp.asarray(sig), state, jnp.int32(true_n)
         )
         return FeatureBlock(*(x[:true_n] for x in block)), new_state
+
+    def pitch_signal_auto(
+        self,
+        signal,
+        vad,
+        fmin: float = 50.0,
+        fmax: float = 400.0,
+        min_confidence: float = 0.3,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """VAD-gated pitch track with the same bucketed-compile contract as
+        :meth:`process_signal_auto`: the signal pads to a
+        ``SIGNAL_BUCKET_SECONDS`` bucket (pitch is frame-local and the pad
+        frames are gated by vad=0, so the slice is exact), the jitted
+        program is shared per (geometry, band), and the confidence
+        threshold is traced. The single pitch path behind the analyze CLI,
+        the batch CLI, and the HTTP serving layer. int16 input transfers
+        as int16. Returns host ``(f0, confidence)`` of ``len(vad)``."""
+        from .pitch import pitch_track_signal_jit
+
+        c = self.cfg
+        sig = np.asarray(signal)
+        if sig.dtype != np.int16:
+            sig = sig.astype(np.float32, copy=False)
+        vad = np.asarray(vad)
+        n = int(vad.shape[0])
+        if len(sig) < c.frame_size or n == 0:
+            z = np.zeros((0,), np.float32)
+            return z, z
+        sr = c.sample_rate
+        target = next(
+            (s * sr for s in self.SIGNAL_BUCKET_SECONDS if len(sig) <= s * sr),
+            None,
+        )
+        psig = np.pad(sig, (0, target - len(sig))) if target else sig
+        n_pad = 1 + (len(psig) - c.frame_size) // c.hop_size
+        pvad = np.zeros((n_pad,), np.int32)
+        pvad[:n] = vad[:n]
+        fn = pitch_track_signal_jit(
+            frame_size=c.frame_size, hop_size=c.hop_size, sample_rate=sr,
+            fmin=float(fmin), fmax=float(fmax),
+        )
+        f0, conf = fn(psig, pvad, np.float32(min_confidence))
+        return np.asarray(f0)[:n], np.asarray(conf)[:n]
 
     def process_signal_device(
         self, signal, state: vad_ops.VadState | None = None

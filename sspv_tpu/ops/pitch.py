@@ -39,6 +39,28 @@ __all__ = [
 ]
 
 
+def _lag_band(sample_rate: int, fmin: float, fmax: float,
+              frame_size: int) -> tuple[int, int]:
+    """Validated ACF lag band for an F0 search in [fmin, fmax].
+
+    Raises ``ValueError`` on an empty band (``fmax`` too low for the frame
+    length: e.g. fmax=50 Hz at 16 kHz needs lag 320, but a 320-sample frame
+    only has lags up to 319) — without this guard the argmax over a
+    zero-width band slice fails at trace time with an opaque error, and the
+    Pallas variant would silently return f0=inf garbage instead.
+    """
+    lag_min = max(1, int(sample_rate / fmax))
+    lag_max = min(frame_size - 1, int(sample_rate / fmin))
+    if lag_min > lag_max:
+        raise ValueError(
+            f"empty pitch lag band: fmin={fmin}, fmax={fmax} with "
+            f"frame_size={frame_size} at {sample_rate} Hz gives lags "
+            f"[{lag_min}, {lag_max}]; need fmax > "
+            f"{sample_rate / (frame_size - 1):.1f} Hz"
+        )
+    return lag_min, lag_max
+
+
 def _band_peak_pick(
     acf: jnp.ndarray, lag_min: int, lag_max: int, sample_rate: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -84,8 +106,7 @@ def pitch_from_frames(
     """
     x = jnp.asarray(frames, dtype=jnp.float32)
     frame_size = x.shape[-1]
-    lag_min = max(1, int(sample_rate / fmax))
-    lag_max = min(frame_size - 1, int(sample_rate / fmin))
+    lag_min, lag_max = _lag_band(sample_rate, fmin, fmax, frame_size)
     acf_fn = (
         autocorrelation_via_dft
         if acf_impl == "dft"
@@ -160,15 +181,16 @@ def pitch_track_signal(
         # the (F, frame_size) frame matrix (2x-duplicated samples; ~0.5 GB
         # for an hour of audio) is never materialized.
         hop = hop_size
-        lag_min = max(1, int(sample_rate / fmax))
-        lag_max = min(frame_size - 1, int(sample_rate / fmin))
+        lag_min, lag_max = _lag_band(sample_rate, fmin, fmax, frame_size)
         merged, nyq_b, inv_live, inv_nyq = _acf_dft_bases_merged(
             frame_size, lag_max
         )
-        if use_kernel:
+        if use_kernel and precision != "highest":
             # Fused Pallas variant: intermediates (DFT output, power, ACF)
             # stay in VMEM; manual 3-pass bf16 matmuls (ops/pallas_view.py).
             # Opt-in pending the on-chip A/B (tools/viewkernel_ab.py --pitch).
+            # Gated off at "highest": the kernel's dots are 3-pass bf16
+            # (== "high") and a strict-f32 pin must not silently downgrade.
             from .pallas_view import fused_view_pitch
 
             rows = x[: (n + 1) * hop].reshape(n + 1, hop)
@@ -241,7 +263,7 @@ def pitch_track_signal_jit(
     )
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=256)  # serve's band grid alone permits 153 pairs
 def _pitch_jit_cached(
     frame_size: int, hop_size: int, sample_rate: int,
     fmin: float, fmax: float, acf_impl: str, precision: str,

@@ -28,5 +28,8 @@ _NAME_TO_PRECISION = {
 
 
 def resolve(name: str) -> jax.lax.Precision:
-    """Map a precision knob name to ``jax.lax.Precision`` (unknown → HIGHEST)."""
-    return _NAME_TO_PRECISION.get(str(name), jax.lax.Precision.HIGHEST)
+    """Map a precision knob name to ``jax.lax.Precision`` (unknown → HIGHEST,
+    case-insensitive)."""
+    return _NAME_TO_PRECISION.get(
+        str(name).strip().lower(), jax.lax.Precision.HIGHEST
+    )

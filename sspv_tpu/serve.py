@@ -139,21 +139,6 @@ class FeatureService:
             _resample_to(np.asarray(samples, dtype=np.int16), sr, target)
         )
 
-    def _pitch_fn(self, fmin: float, fmax: float):
-        """Shared jitted pitch program per band (ops.pitch caches the
-        callable; jit then caches executables per padded-signal shape, and
-        lengths come from the signal buckets, so the executable count stays
-        bounded). The confidence threshold is a traced argument — it never
-        multiplies compiles."""
-        from .ops.pitch import pitch_track_signal_jit
-
-        c = self.pipe.cfg
-        return pitch_track_signal_jit(
-            frame_size=c.frame_size, hop_size=c.hop_size,
-            sample_rate=c.sample_rate,
-            fmin=float(fmin), fmax=float(fmax),
-        )
-
     # -- analysis --------------------------------------------------------
 
     def analyze(
@@ -202,23 +187,9 @@ class FeatureService:
             vad_adaptive=np.asarray(block.vad_adaptive).astype(np.int32),
         )
         if want_pitch:
-            n = out["num_frames"]
-            # Same bucket-padding trick as process_signal_auto: pitch is
-            # frame-local, so tail padding (gated by vad=0) slices off exact.
-            target = next(
-                (s * c.sample_rate
-                 for s in self.pipe.SIGNAL_BUCKET_SECONDS
-                 if len(sig) <= s * c.sample_rate),
-                None,
+            out["f0"], out["pitch_confidence"] = self.pipe.pitch_signal_auto(
+                sig, vad, fmin=fmin, fmax=fmax, min_confidence=min_confidence
             )
-            psig = np.pad(sig, (0, target - len(sig))) if target else sig
-            n_pad = 1 + (len(psig) - c.frame_size) // c.hop_size
-            pvad = np.zeros((n_pad,), np.int32)
-            pvad[:n] = vad[:n]
-            fn = self._pitch_fn(fmin, fmax)
-            f0, conf = fn(psig, pvad, np.float32(min_confidence))
-            out["f0"] = np.asarray(f0)[:n]
-            out["pitch_confidence"] = np.asarray(conf)[:n]
         return out
 
     def stream_blocks(self, chunks):
@@ -523,6 +494,14 @@ class _Handler(BaseHTTPRequestHandler):
                 # NaN would silently clamp to 0.0 and disable gating
                 raise ValueError(f"non-finite min_confidence: {mc}")
             min_confidence = min(1.0, max(0.0, mc))
+            if route[1]:  # pitch route: the band must be feasible for the
+                # frame geometry (e.g. fmax=50 Hz needs lag 320 but a
+                # 320-sample frame tops out at 319) — reject as a client
+                # error instead of crashing at trace time
+                from .ops.pitch import _lag_band
+
+                c = self.service.pipe.cfg
+                _lag_band(c.sample_rate, fmin, fmax, c.frame_size)
         except ValueError as e:
             self._reply_error(400, f"bad query parameter: {e}")
             return

@@ -93,3 +93,47 @@ def test_pitch_vad_gating_and_noise_confidence():
     assert np.all(f0[10:] == 0)
     # tone frames should be far more periodic than noise frames
     assert np.mean(np.asarray(conf)[:10]) > np.mean(np.asarray(conf)[10:])
+
+
+def test_empty_lag_band_raises_cleanly():
+    """fmax too low for the frame length must be a clear ValueError, not an
+    argmax-over-empty-slice trace error (or inf garbage from the kernel)."""
+    import pytest
+
+    from sspv_tpu.ops.pitch import pitch_from_frames, pitch_track_signal
+
+    frames = np.random.default_rng(0).normal(0, 100, (4, 32)).astype(np.float32)
+    with pytest.raises(ValueError, match="empty pitch lag band"):
+        pitch_from_frames(frames, 16000)  # 32-sample frames can't reach 50 Hz
+    sig = np.random.default_rng(1).normal(0, 100, 16000).astype(np.float32)
+    vad = np.ones((99,), np.int32)
+    with pytest.raises(ValueError, match="empty pitch lag band"):
+        # lag_min = 16000/50 = 320 > lag_max 319
+        pitch_track_signal(sig, vad, fmin=30.0, fmax=50.0)
+
+
+def test_view_kernel_gated_off_at_highest_precision():
+    from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
+
+    # the fused view kernel is 3-pass bf16 (== "high"); a strict f32 pin
+    # must never silently downgrade (selection is also TPU-only, so on the
+    # CPU suite both are False — the precision gate is the assertable bit)
+    hi = FeaturePipeline(FeatureConfig(view_kernel=True, precision="highest"))
+    assert hi._use_view_kernel is False
+
+
+def test_basis_caches_are_mutation_proof():
+    from sspv_tpu.ops import bases
+
+    wc, ws = bases.windowed_dft_bases(320, 512, "hamming")
+    wc2, _ = bases.windowed_dft_bases(320, 512, "hamming")
+    wc[0, 0] += 99.0
+    assert wc2[0, 0] != wc[0, 0]
+    c, s = bases.dft_bases(320, 512)
+    c[0, 0] += 99.0
+    c2, _ = bases.dft_bases(320, 512)
+    assert c2[0, 0] != c[0, 0]
+    m, nyq = bases.merged_windowed_dft_bases(320, 512, "hamming")
+    m[0, 0] += 99.0
+    m2, _ = bases.merged_windowed_dft_bases(320, 512, "hamming")
+    assert m2[0, 0] != m[0, 0]

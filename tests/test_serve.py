@@ -499,3 +499,18 @@ def test_warmup_all_buckets_compiles_each_bucket(monkeypatch):
     seen.clear()
     svc.warmup()
     assert seen == [svc.pipe.SIGNAL_BUCKET_SECONDS[0] * Config.SAMPLE_RATE]
+
+
+def test_http_infeasible_pitch_band_is_400(server):
+    """fmin/fmax pairs from the grid that leave no lag band for the frame
+    geometry (e.g. 30..50 Hz needs lag 320 > 319) must be a 400, not a
+    trace-time crash."""
+    samples, sr = _tone_i16(0.3)
+    try:
+        status, _, body = _post(
+            server, "/v1/pitch?fmin=30&fmax=50", _wav_bytes(samples, sr)
+        )
+    except urllib.error.HTTPError as e:
+        status, body = e.code, e.read()
+    assert status == 400
+    assert b"lag band" in body
