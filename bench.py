@@ -42,10 +42,13 @@ def _enable_compile_cache() -> None:
     """Persistent compilation cache: first-compile through the remote-compile
     tunnel is minutes; cached reloads are seconds. The cache directory lives
     next to the repo so driver runs reuse compiles from dev runs."""
-    import jax
+    import os
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from sspv_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
 
 
 def main() -> None:

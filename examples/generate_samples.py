@@ -22,10 +22,9 @@ sys.path.insert(0, REPO)
 def _paced_signals():
     """(name, int16 signal) pairs with varied lengths/content; frame counts
     mirror the reference's committed samples (21/22/100) plus two more."""
-    import jax  # enable the persistent cache before any compile
+    from sspv_tpu.utils.cache import enable_persistent_cache
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    enable_persistent_cache(os.path.join(REPO, ".jax_cache"))
 
     from sspv_tpu.config import Config
 
@@ -107,8 +106,16 @@ def main() -> None:
 
     import jax
 
+    from sspv_tpu.config import Config
+    from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
+
+    # ONE pipeline across all sample runs: each FeaturePipeline carries its
+    # own jitted-callable set, and per-process executable loads through the
+    # remote client are expensive (the multistream bench documents the
+    # shared-pipeline pattern for exactly this reason)
+    shared_pipe = FeaturePipeline(FeatureConfig.from_config(Config))
     for name, sig in _paced_signals():
-        rt = AudioRuntime(audio_source=ArraySource(sig))
+        rt = AudioRuntime(audio_source=ArraySource(sig), pipeline=shared_pipe)
         rt.auto_stop_on_eof = True
         rt.start()
         t0 = time.time()

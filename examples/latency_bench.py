@@ -78,8 +78,9 @@ class PacedSource:
 def run_once(mode: str, chunk: int, seconds: float, warmup_s: float) -> dict:
     import jax  # noqa: F401  (backend resolution before Config import is fine)
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from sspv_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from sspv_tpu.config import Config
     from sspv_tpu.runtime import AudioRuntime
@@ -91,17 +92,22 @@ def run_once(mode: str, chunk: int, seconds: float, warmup_s: float) -> dict:
     rt = AudioRuntime(audio_source=src)
     rt.auto_stop_on_eof = True
 
-    # pre-warm every bucket shape so compiles (or cache loads) don't land
-    # inside the paced measurement window
-    import jax.numpy as jnp
-
-    state = rt.pipeline.initial_state()
+    # pre-warm the programs the engine will ACTUALLY dispatch (the packed
+    # paths, per its samples/frames layout decision) so compiles or cache
+    # loads never land inside the paced measurement window — warming the
+    # unpacked process_block would leave every real program cold
     for b in rt._buckets:
-        blk, _ = rt.pipeline.process_block(
-            np.zeros((b, Config.FRAME_SIZE), np.float32), state,
-            valid=jnp.asarray(np.arange(b) < b - 1),
-        )
-        jax.block_until_ready(blk)
+        packed0 = rt.pipeline.initial_packed_state()
+        if rt._samples_dispatch:
+            blen = (b - 1) * rt.hop_size + rt.frame_size
+            out, _ = rt.pipeline.process_signal_packed(
+                np.zeros((blen,), np.int16), packed0, blen
+            )
+        else:
+            out, _ = rt.pipeline.process_block_packed(
+                np.zeros((b, Config.FRAME_SIZE), np.float32), packed0, b - 1
+            )
+        jax.block_until_ready(out)
 
     # publish-time watcher: first-seen wall-clock per frame index
     pub_times: list[float] = []

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import io
+import os
 import json
 import sys
 import threading
@@ -30,7 +31,8 @@ import wave
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def _wav_bytes(seconds: float, sr: int, freq: float = 150.0) -> bytes:
@@ -122,9 +124,7 @@ def main() -> None:
         from sspv_tpu.serve import make_server
         from sspv_tpu.utils.cache import enable_persistent_cache
 
-        enable_persistent_cache(
-            __file__.rsplit("/", 2)[0] + "/.jax_cache"
-        )
+        enable_persistent_cache(os.path.join(REPO, ".jax_cache"))
         server = make_server("127.0.0.1", 0)
         threading.Thread(target=server.serve_forever, daemon=True).start()
         host, port = server.server_address[:2]

@@ -19,14 +19,26 @@ __all__ = ["enable_persistent_cache"]
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
     """Point jax at a persistent compilation cache directory and lower the
     store threshold to zero. Order of precedence: explicit arg >
-    ``JAX_COMPILATION_CACHE_DIR`` env > ``~/.cache/sspv_tpu/jax``."""
+    ``JAX_COMPILATION_CACHE_DIR`` env > a repo-checkout-local ``.jax_cache``
+    (so every tool/bench/CLI in a checkout shares ONE warm cache — on
+    remote-compile hardware a cache split costs minutes per program) >
+    ``~/.cache/sspv_tpu/jax``."""
     import jax
 
-    cache_dir = (
-        cache_dir
-        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-        or os.path.join(os.path.expanduser("~"), ".cache", "sspv_tpu", "jax")
-    )
+    if cache_dir is None:
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache_dir is None:
+        repo_cache = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)
+            ))),
+            ".jax_cache",
+        )
+        cache_dir = (
+            repo_cache
+            if os.path.isdir(repo_cache)
+            else os.path.join(os.path.expanduser("~"), ".cache", "sspv_tpu", "jax")
+        )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -55,14 +55,12 @@ def main(argv):
 
     sys.path.insert(0, "/root/repo/tests")
     sr = 16000
-    rng = np.random.default_rng(0)
-    n_samples = int(seconds * sr)
-    t = np.arange(n_samples) / sr
-    sig_np = rng.normal(0, 40, n_samples)
-    seg = (t * 2).astype(int) % 4
-    sig_np = np.where(seg == 1, 6000 * np.sin(2 * np.pi * 130 * t), sig_np)
-    sig_np = np.where(seg == 2, rng.normal(0, 2000, n_samples), sig_np)
-    sig_np = sig_np.astype(np.float32)
+    # THE bench signal (bench.synth_signal) so every tool's rows are
+    # measured on the same input — a local copy had silently dropped the
+    # 260 Hz second harmonic
+    from bench import synth_signal
+
+    sig_np = synth_signal(seconds, sr)
     sig = jax.device_put(jnp.asarray(sig_np))
 
     def report(name, per_call, extra=None):
@@ -153,7 +151,11 @@ def main(argv):
 
         sub = sig_np[: 30 * sr]
         want = _oracle_features(sub)
-        got, _st = pipe.process_signal(sub)
+        # device path = the signal-VIEW path (what run_full times, and the
+        # only consumer of _use_view_kernel) — process_signal would gate
+        # every variant on the frames path instead
+        got, _st = pipe.process_signal_device(jnp.asarray(sub, jnp.float32))
+        got = jax.device_get(got)
         return {
             "nmse_max": float(
                 f"{max(_nmse(got.energy, want['energy']), _nmse(got.zcr, want['zcr']), _nmse(got.entropy, want['entropy']), _nmse(got.mfcc, want['mfcc'])):.3e}"

@@ -27,14 +27,12 @@ def main(argv):
     enable_persistent_cache("/root/repo/.jax_cache")
 
     sr = 16000
-    rng = np.random.default_rng(0)
-    n = int(seconds * sr)
-    t = np.arange(n) / sr
-    sig_np = rng.normal(0, 40, n)
-    seg = (t * 2).astype(int) % 4
-    sig_np = np.where(seg == 1, 6000 * np.sin(2 * np.pi * 130 * t), sig_np)
-    sig_np = np.where(seg == 2, rng.normal(0, 2000, n), sig_np)
-    sig_np = sig_np.astype(np.float32)
+    # THE bench signal (bench.synth_signal) so every tool's rows are
+    # measured on the same input — a local copy had silently dropped the
+    # 260 Hz second harmonic
+    from bench import synth_signal
+
+    sig_np = synth_signal(seconds, sr)
     sig = jax.device_put(jnp.asarray(sig_np))
 
     vads = {}

@@ -7,7 +7,7 @@ doubles the full-pipeline time (features 28.9 ms -> features+VAD 52.7 ms for
 lowering, not arithmetic. The suspects, timed here in isolation at the real
 block shape (SCAN_BLOCK_FRAMES = 32768 frames, history 256):
 
-  conv          jnp.convolve(ext, ones(256), 'valid')   (current impl)
+  conv          jnp.convolve(ext, ones(256), "valid")   (fallback impl)
   reduce_window lax.reduce_window add over a 256 window
   blocked       two-level block-cumsum sliding sum (12 fused VPU ops)
   matmul        im2col windows @ ones vector (MXU)
@@ -117,15 +117,22 @@ def main():
     h = jax.device_put(jnp.asarray(rng.uniform(0, 1, (F,)).astype(np.float32)))
     st = jax.tree_util.tree_map(jax.device_put, vad_ops.initial_vad_state())
 
-    @jax.jit
-    def vad_full(e, z, h, st):
-        return vad_ops.streaming_vad(
-            e, z, h, st,
-            energy_threshold=1e9, zcr_threshold=0.3, entropy_voice_max=0.6,
-            use_adaptive=True, adaptive_alpha=0.8,
-        )
+    def make_vad_full(impl):
+        @jax.jit
+        def vad_full(e, z, h, st):
+            return vad_ops.streaming_vad(
+                e, z, h, st,
+                energy_threshold=1e9, zcr_threshold=0.3,
+                entropy_voice_max=0.6,
+                use_adaptive=True, adaptive_alpha=0.8,
+                trailing_impl=impl,
+            )
+        return vad_full
 
-    report("vad_full", timeit(vad_full, (e, z, h, st)))
+    # "blocked" is what the shipped pipeline passes (FeatureConfig default);
+    # streaming_vad's own default is the conv fallback, so spell both out
+    report("vad_full_blocked", timeit(make_vad_full("blocked"), (e, z, h, st)))
+    report("vad_full_conv", timeit(make_vad_full("conv"), (e, z, h, st)))
     print(json.dumps({"backend": jax.default_backend(), "F": F, "H": H}))
 
 

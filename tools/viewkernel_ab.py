@@ -46,9 +46,16 @@ def main(argv):
     want = _oracle_features(sub)
 
     def parity(pipe):
-        got, _ = pipe.process_signal(sub)
+        # process_signal_DEVICE routes through the signal-view path — the
+        # only place _use_view_kernel is consumed — so the kernel leg's gate
+        # measures actual kernel output. (process_signal would take the
+        # frames path and print the shipped path's NMSE for both legs,
+        # letting a divergent kernel pass the gate.)
+        got, _ = pipe.process_signal_device(jnp.asarray(sub, jnp.float32))
+        got = jax.device_get(got)
         return {
-            "nmse_max": float(f"{max(_nmse(got.energy, want['energy']), _nmse(got.zcr, want['zcr']), _nmse(got.entropy, want['entropy']), _nmse(got.mfcc, want['mfcc'])):.3e}")
+            "nmse_max": float(f"{max(_nmse(got.energy, want['energy']), _nmse(got.zcr, want['zcr']), _nmse(got.entropy, want['entropy']), _nmse(got.mfcc, want['mfcc'])):.3e}"),
+            "view_kernel_engaged": bool(pipe._use_view_kernel),
         }
 
     def measure(pipe, name, extra=None):
