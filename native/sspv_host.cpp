@@ -49,9 +49,4 @@ int64_t sspv_frame_i16_to_f32_windowed(const int16_t* in, int64_t n,
   return num_frames;
 }
 
-// int16 → float32 bulk conversion (device-upload staging).
-void sspv_i16_to_f32(const int16_t* in, int64_t n, float* out) {
-  for (int64_t i = 0; i < n; ++i) out[i] = (float)in[i];
-}
-
 }  // extern "C"

@@ -112,6 +112,16 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     Config.setup_logging()
+    # same override layers as every sibling CLI (main/batch/serve): without
+    # these, RTP_ knobs silently change results between `analyze` and `batch`
+    # runs of the same file.
+    import os
+
+    yaml_path = os.environ.get("RTP_CONFIG_YAML")
+    if yaml_path:
+        Config.load_from_yaml(yaml_path)
+    Config.load_from_env(prefix="RTP_")
+    Config.setup_logging()  # re-apply a LOG_LEVEL override
     from .utils.cache import enable_persistent_cache
 
     enable_persistent_cache()

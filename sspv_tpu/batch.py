@@ -256,6 +256,7 @@ def main(argv=None) -> int:
 
     Config.setup_logging()
     Config.load_from_env()
+    Config.setup_logging()  # re-apply a LOG_LEVEL override
     from .utils.cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -180,11 +180,18 @@ class Config:
 
     @staticmethod
     def setup_logging() -> None:
-        """Initialise stdlib logging (reference: config.py:138-148)."""
+        """Initialise stdlib logging (reference: config.py:138-148).
+
+        Safe to call again after ``load_from_env``/``load_from_yaml``:
+        ``basicConfig`` no-ops once a handler exists, so the explicit
+        ``setLevel`` below is what lets a late ``LOG_LEVEL`` override (e.g.
+        ``RTP_LOG_LEVEL=DEBUG``) actually take effect — the CLIs call this
+        once before loading overrides and once after."""
         level = getattr(logging, str(Config.LOG_LEVEL).upper(), logging.INFO)
         logging.basicConfig(
             level=level, format=Config.LOG_FORMAT, datefmt=Config.LOG_DATEFMT
         )
+        logging.getLogger().setLevel(level)
 
     @staticmethod
     def print_config() -> None:
@@ -271,14 +278,30 @@ class Config:
     @staticmethod
     def _coerce(raw: str, template: object) -> object:
         """Parse ``raw`` to the type of ``template`` (the attribute's current
-        value). Bools accept 1/true/yes/on; strings pass through unchanged;
-        raises on unparseable numerics so callers can keep the default."""
+        value). Bools accept 1/true/yes/on vs 0/false/no/off; tuples/lists
+        parse comma- or space-separated elements against the first element's
+        type (e.g. ``RTP_TPU_STREAM_BUCKETS="64,512"``); strings pass through
+        unchanged; raises on anything unparseable so callers keep the
+        default."""
         if isinstance(template, bool):
-            return raw.strip().lower() in {"1", "true", "yes", "on"}
+            s = raw.strip().lower()
+            if s in {"1", "true", "yes", "on"}:
+                return True
+            if s in {"0", "false", "no", "off"}:
+                return False
+            # A typo ("treu") must not silently flip the flag to False.
+            raise ValueError(raw)
         if isinstance(template, int):
             return int(raw)
         if isinstance(template, float):
             return float(raw)
+        if isinstance(template, (tuple, list)):
+            elem = template[0] if len(template) else ""
+            parts = [p for p in raw.replace(",", " ").split() if p]
+            if not parts:
+                raise ValueError(raw)
+            vals = [Config._coerce(p, elem) for p in parts]
+            return tuple(vals) if isinstance(template, tuple) else vals
         return raw
 
     @staticmethod

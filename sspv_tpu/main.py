@@ -28,6 +28,8 @@ def main() -> None:
     if yaml_path:
         Config.load_from_yaml(yaml_path)
     Config.load_from_env(prefix="RTP_")
+    # re-apply so a LOG_LEVEL override from YAML/env takes effect
+    Config.setup_logging()
 
     from .utils.cache import enable_persistent_cache
 
@@ -46,6 +48,12 @@ def main() -> None:
         files = collect_audio_files(input_dir)
         if files:
             audio_source = PlaylistAudioSource(files, sample_rate=Config.SAMPLE_RATE)
+        else:
+            # a typo'd/empty RTP_INPUT_DIR must not silently open the mic
+            logger.warning(
+                "RTP_INPUT_DIR=%s has no supported audio files; "
+                "falling back to the microphone", input_dir,
+            )
     elif os.environ.get("RTP_INTERACTIVE", "").lower() in {"1", "true", "yes"}:
         audio_source = interactive_choose_audio_source()
 
@@ -59,8 +67,11 @@ def main() -> None:
         kwargs["headless"] = True
     duration = os.environ.get("RTP_DURATION")
     if duration:
-        kwargs.setdefault("headless", True)
-        kwargs["duration"] = float(duration)
+        try:
+            kwargs["duration"] = float(duration)
+            kwargs.setdefault("headless", True)
+        except ValueError:
+            logger.warning("RTP_DURATION=%s is not a number; ignoring", duration)
     snapshot = os.environ.get("RTP_SNAPSHOT")
     if snapshot:
         kwargs.setdefault("headless", True)

@@ -36,6 +36,19 @@ __all__ = [
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def _energy_zcr(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Short-time energy and zero-crossing rate of windowed frames — the one
+    definition shared by VADModel and SpeechFrontend (reference semantics:
+    no /2 on the sign-diff count, divide by frame length)."""
+    energy = jnp.sum(x * x, axis=-1)
+    signs = jnp.sign(x)
+    zcr = (
+        jnp.sum(jnp.abs(jnp.diff(signs, axis=-1)) > 0, axis=-1)
+        / jnp.float32(x.shape[-1])
+    )
+    return energy, zcr
+
+
 class FrameTransform:
     """Base: framing geometry + window shared by all transforms."""
 
@@ -96,13 +109,16 @@ class MelSpectrogram(Spectrogram):
             num_filters, self.n_fft, self.sample_rate, fmin, fmax
         ).T.copy()
 
-    def __call__(self, frames) -> jnp.ndarray:
-        power = super().__call__(frames)
-        mel = jnp.maximum(
+    def _mel_of(self, power) -> jnp.ndarray:
+        """Clamped mel energies of a power spectrogram (pre-log)."""
+        return jnp.maximum(
             jnp.matmul(power, jnp.asarray(self._fb_t), precision=_HIGHEST,
                        preferred_element_type=jnp.float32),
             jnp.float32(1e-10),
         )
+
+    def __call__(self, frames) -> jnp.ndarray:
+        mel = self._mel_of(Spectrogram.__call__(self, frames))
         return jnp.log(mel) if self.log else mel
 
 
@@ -115,11 +131,14 @@ class MFCC(MelSpectrogram):
         self._dct = bases.dct_ortho_matrix(self.num_filters, num_ceps)
         self._lifter = bases.lifter_vector(num_ceps, lifter)
 
-    def __call__(self, frames) -> jnp.ndarray:
-        log_mel = super().__call__(frames)
+    def _mfcc_of(self, log_mel) -> jnp.ndarray:
+        """Liftered DCT of log-mel energies."""
         mfcc = jnp.matmul(log_mel, jnp.asarray(self._dct), precision=_HIGHEST,
                           preferred_element_type=jnp.float32)
         return mfcc * jnp.asarray(self._lifter)
+
+    def __call__(self, frames) -> jnp.ndarray:
+        return self._mfcc_of(super().__call__(frames))
 
 
 class SpectralEntropy(Spectrogram):
@@ -139,13 +158,7 @@ class VADModel(FrameTransform):
         self.zcr_threshold = float(zcr_threshold)
 
     def __call__(self, frames) -> jnp.ndarray:
-        x = jnp.asarray(frames, jnp.float32)
-        energy = jnp.sum(x * x, axis=-1)
-        signs = jnp.sign(x)
-        zcr = (
-            jnp.sum(jnp.abs(jnp.diff(signs, axis=-1)) > 0, axis=-1)
-            / jnp.float32(x.shape[-1])
-        )
+        energy, zcr = _energy_zcr(jnp.asarray(frames, jnp.float32))
         return (energy > self.energy_threshold) & (zcr < self.zcr_threshold)
 
 
@@ -166,22 +179,12 @@ class SpeechFrontend(FrameTransform):
 
     def __call__(self, frames) -> dict:
         x = jnp.asarray(frames, jnp.float32)
-        energy = jnp.sum(x * x, axis=-1)
-        signs = jnp.sign(x)
-        zcr = (
-            jnp.sum(jnp.abs(jnp.diff(signs, axis=-1)) > 0, axis=-1)
-            / jnp.float32(x.shape[-1])
-        )
+        energy, zcr = _energy_zcr(x)
+        # one spectrum shared by MFCC and entropy (the fused-pipeline trick),
+        # with the mel/DCT/lifter math delegated to the MFCC transform so the
+        # numerics have exactly one definition.
         power = Spectrogram.__call__(self._mfcc, x)
-        mel = jnp.maximum(
-            jnp.matmul(power, jnp.asarray(self._mfcc._fb_t), precision=_HIGHEST,
-                       preferred_element_type=jnp.float32),
-            jnp.float32(1e-10),
-        )
-        mfcc = jnp.matmul(
-            jnp.log(mel), jnp.asarray(self._mfcc._dct), precision=_HIGHEST,
-            preferred_element_type=jnp.float32,
-        ) * jnp.asarray(self._mfcc._lifter)
+        mfcc = self._mfcc._mfcc_of(jnp.log(self._mfcc._mel_of(power)))
         return {
             "energy": energy,
             "zcr": zcr,

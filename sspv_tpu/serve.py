@@ -582,6 +582,7 @@ def make_server(
 def main() -> None:
     Config.setup_logging()
     Config.load_from_env()
+    Config.setup_logging()  # re-apply a LOG_LEVEL override
     from .utils.cache import enable_persistent_cache
 
     # server restarts must not repay the cold remote compile

@@ -28,15 +28,23 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     if cache_dir is None:
         cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if cache_dir is None:
-        repo_cache = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)
-            ))),
-            ".jax_cache",
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        )))
+        repo_cache = os.path.join(repo_root, ".jax_cache")
+        # Prefer the checkout-local cache whenever we're running from a dev
+        # checkout (not just when .jax_cache already exists): a fresh clone
+        # must not warm ~/.cache first and then split the cache once
+        # .jax_cache appears — on remote-compile hardware a split costs
+        # minutes per program. A pip-installed package (no .git/pyproject
+        # next to it) keeps using the user cache.
+        in_checkout = os.path.isdir(repo_cache) or (
+            os.path.exists(os.path.join(repo_root, "pyproject.toml"))
+            or os.path.isdir(os.path.join(repo_root, ".git"))
         )
         cache_dir = (
             repo_cache
-            if os.path.isdir(repo_cache)
+            if in_checkout
             else os.path.join(os.path.expanduser("~"), ".cache", "sspv_tpu", "jax")
         )
     os.makedirs(cache_dir, exist_ok=True)

@@ -87,6 +87,13 @@ def frame_i16_to_f32(
     fused kernel when available, NumPy otherwise.
     """
     samples = np.ascontiguousarray(samples, dtype=np.int16)
+    if window is not None and np.shape(window) != (frame_size,):
+        # the native kernel reads window[0..frame_size) unconditionally —
+        # validate up front so both paths fail identically instead of the
+        # native one reading past the buffer.
+        raise ValueError(
+            f"window shape {np.shape(window)} != ({frame_size},)"
+        )
     n = samples.shape[0]
     if n < frame_size:
         return np.zeros((0, frame_size), dtype=np.float32)

@@ -173,3 +173,55 @@ def test_view_layout_knob_reaches_pipeline(monkeypatch):
         assert FeatureConfig.from_config(Config).view_kernel is True
     finally:
         Config.TPU_VIEW_LAYOUT, Config.TPU_VIEW_KERNEL = orig
+
+
+def test_env_tuple_override(monkeypatch):
+    """Tuple-typed attributes (TPU_STREAM_BUCKETS) must parse from env as a
+    tuple of the element type — the raw-string assignment used to crash
+    FeaturePipeline.stream()."""
+    orig = Config.TPU_STREAM_BUCKETS
+    try:
+        monkeypatch.setenv("RTP_TPU_STREAM_BUCKETS", "64, 512")
+        Config.load_from_env("RTP_")
+        assert Config.TPU_STREAM_BUCKETS == (64, 512)
+        assert all(isinstance(b, int) for b in Config.TPU_STREAM_BUCKETS)
+        # garbage keeps the default
+        Config.TPU_STREAM_BUCKETS = orig
+        monkeypatch.setenv("RTP_TPU_STREAM_BUCKETS", "64,twelve")
+        Config.load_from_env("RTP_")
+        assert Config.TPU_STREAM_BUCKETS == orig
+    finally:
+        Config.TPU_STREAM_BUCKETS = orig
+
+
+def test_env_bool_typo_keeps_default(monkeypatch):
+    """An unrecognized bool string ('treu') must warn and keep the default,
+    not silently coerce to False."""
+    orig = Config.USE_ADAPTIVE_VAD
+    try:
+        Config.USE_ADAPTIVE_VAD = True
+        monkeypatch.setenv("RTP_USE_ADAPTIVE_VAD", "treu")
+        Config.load_from_env("RTP_")
+        assert Config.USE_ADAPTIVE_VAD is True
+        monkeypatch.setenv("RTP_USE_ADAPTIVE_VAD", "off")
+        Config.load_from_env("RTP_")
+        assert Config.USE_ADAPTIVE_VAD is False
+    finally:
+        Config.USE_ADAPTIVE_VAD = orig
+
+
+def test_setup_logging_reapplies_level():
+    """A LOG_LEVEL override loaded after the first setup_logging must take
+    effect on the second call (basicConfig alone is a no-op then)."""
+    import logging
+
+    orig = Config.LOG_LEVEL
+    try:
+        Config.LOG_LEVEL = "INFO"
+        Config.setup_logging()
+        Config.LOG_LEVEL = "DEBUG"
+        Config.setup_logging()
+        assert logging.getLogger().level == logging.DEBUG
+    finally:
+        Config.LOG_LEVEL = orig
+        Config.setup_logging()

@@ -37,3 +37,15 @@ def test_short_input_returns_empty():
 def test_native_library_builds():
     # In this environment g++ exists, so the native path should be live.
     assert native.native_available()
+
+
+def test_window_length_mismatch_raises():
+    """The native kernel reads window[0..frame_size) unconditionally, so a
+    short window must be rejected up front (identically on both paths)."""
+    import pytest
+
+    samples = np.zeros(5000, np.int16)
+    with pytest.raises(ValueError, match="window shape"):
+        native.frame_i16_to_f32(samples, 320, 160, window=np.ones(160, np.float32))
+    with pytest.raises(ValueError, match="window shape"):
+        native.frame_i16_to_f32(samples, 320, 160, window=np.ones(640, np.float32))
