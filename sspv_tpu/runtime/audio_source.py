@@ -185,10 +185,13 @@ class FileAudioSource(AudioSource):
                 f"could not decode {self._file_path!r}: " + "; ".join(errors)
             )
         self.sample_rate = sr or int(self._target_sr or 0)
-        if self._target_sr and int(self._target_sr) != self.sample_rate and arr.size:
-            arr = _resample_to(arr, self.sample_rate, int(self._target_sr))
-            self.sample_rate = int(self._target_sr)
-        elif self._target_sr and not sr:
+        if self._target_sr:
+            if arr.size and int(self._target_sr) != self.sample_rate:
+                arr = _resample_to(arr, self.sample_rate, int(self._target_sr))
+            # a requested target rate always wins (reference sets it
+            # unconditionally, audio_source.py:145-147) — even for an empty
+            # file, so the engine's post-open rate refresh can't flip the
+            # runtime to the file's native rate
             self.sample_rate = int(self._target_sr)
         self._pcm = arr
         self._pos = 0
@@ -234,6 +237,12 @@ class PlaylistAudioSource(AudioSource):
             return
         src = FileAudioSource(self._paths[self._index], sample_rate=self._target_sr)
         src.open()
+        if self._target_sr is None and src.sample_rate:
+            # Lock the whole playlist to the first file's native rate: the
+            # engine reads the source rate once before its capture loop, so
+            # a mid-playlist rate change would silently corrupt frame timing.
+            # Later files resample to match instead.
+            self._target_sr = int(src.sample_rate)
         self.sample_rate = int(src.sample_rate or (self._target_sr or 0))
         self._current = src
 
@@ -242,7 +251,10 @@ class PlaylistAudioSource(AudioSource):
             self.exhausted = True
             return np.array([], dtype=np.int16)
         chunk = self._current.read(num_frames)
-        if chunk.size == 0:
+        # loop (not a single retry): a zero-sample file mid-playlist must be
+        # skipped entirely, or an empty chunk with exhausted=False leaks to
+        # consumers relying on the "empty read means EOF" contract
+        while chunk.size == 0:
             self._current.close()
             self._index += 1
             self._open_current()

@@ -63,7 +63,11 @@ def run_self_test() -> bool:
 
     pipe = FeaturePipeline(FeatureConfig.from_config(Config))
     block, _ = pipe.process_signal(np.random.randn(Config.SAMPLE_RATE).astype(np.float32) * 500)
-    check("fused pipeline frame count", int(np.asarray(block.energy).shape[0]) == 99)
+    expected_frames = 1 + int(
+        np.ceil((Config.SAMPLE_RATE - Config.FRAME_SIZE) / Config.HOP_SIZE)
+    )  # 99 at the defaults; derived so a Config change can't break the check
+    check("fused pipeline frame count",
+          int(np.asarray(block.energy).shape[0]) == expected_frames)
     check("fused pipeline mfcc finite", bool(np.all(np.isfinite(np.asarray(block.mfcc)))))
 
     print("\nself-test:", "ALL PASS" if ok else "FAILURES PRESENT")

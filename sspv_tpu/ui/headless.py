@@ -76,11 +76,11 @@ class HeadlessVisualizer:
         if self.snapshot_path:
             try:
                 self.render_png(self.snapshot_path)
-            except ImportError as e:
-                # a minimal install without matplotlib must not crash the
-                # whole run at the very end — the session's work is done;
-                # the snapshot degrades to a warning
-                logger.warning("snapshot skipped (matplotlib unavailable): %s", e)
+            except Exception as e:
+                # a missing matplotlib, an unwritable path, or any render
+                # error must not crash the whole run at the very end — the
+                # session's work is done; the snapshot degrades to a warning
+                logger.warning("snapshot failed (%s): %s", type(e).__name__, e)
 
     def render_png(self, path: str) -> str:
         """Render the 4 stacked plots to a PNG and return the path."""

@@ -36,6 +36,10 @@ class SessionData(NamedTuple):
 
     @property
     def duration_seconds(self) -> float:
+        # a malformed npz (sample_rate=0) must be reportable via
+        # validate_session, not crash in a display property
+        if self.sample_rate <= 0:
+            return 0.0
         return self.num_frames * self.hop_size / float(self.sample_rate)
 
 

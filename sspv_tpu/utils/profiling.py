@@ -39,23 +39,30 @@ class RealTimeFactor:
 
     @property
     def factor(self) -> float:
-        return self.elapsed / self.audio_seconds if self.audio_seconds else 0.0
+        if self.audio_seconds:
+            return self.elapsed / self.audio_seconds
+        # zero audio with nonzero wall time is infinitely slow per audio
+        # second, not 0 (the best possible reading)
+        return float("inf") if self.elapsed else 0.0
 
     @property
     def speedup(self) -> float:
-        return self.audio_seconds / self.elapsed if self.elapsed else 0.0
+        if self.elapsed:
+            return self.audio_seconds / self.elapsed
+        # an unmeasurably fast run is inf x real-time, not 0 x
+        return float("inf") if self.audio_seconds else 0.0
 
 
 @contextlib.contextmanager
 def device_trace(log_dir: str):
     """Capture a jax.profiler device trace into ``log_dir`` (viewable with
     TensorBoard / xprof). No-ops gracefully if the profiler is unavailable."""
-    import jax
-
     try:
+        import jax
+
         jax.profiler.start_trace(log_dir)
         started = True
-    except Exception:
+    except Exception:  # profiler (or jax itself) unavailable: no-op
         started = False
     try:
         yield

@@ -111,3 +111,54 @@ def test_resample_identity_and_clip():
 def test_supported_extensions_set():
     assert ".wav" in SUPPORTED_EXTENSIONS and ".mp3" in SUPPORTED_EXTENSIONS
     assert len(SUPPORTED_EXTENSIONS) == 10
+
+
+def test_playlist_skips_empty_file(tmp_path):
+    """A zero-sample file mid-playlist must be skipped entirely — an empty
+    chunk with exhausted=False would break the 'empty read means EOF'
+    contract for generic consumers."""
+    a = (np.ones(500) * 100).astype(np.int16)
+    c = (np.ones(300) * -100).astype(np.int16)
+    write_wav(tmp_path / "a.wav", a)
+    write_wav(tmp_path / "b.wav", np.zeros(0, np.int16))  # empty
+    write_wav(tmp_path / "c.wav", c)
+    src = PlaylistAudioSource(
+        [str(tmp_path / n) for n in ("a.wav", "b.wav", "c.wav")],
+        sample_rate=16000,
+    )
+    src.open()
+    chunks = []
+    while (chunk := src.read(200)).size:
+        chunks.append(chunk)
+    got = np.concatenate(chunks)
+    np.testing.assert_array_equal(got, np.concatenate([a, c]))
+    assert src.exhausted
+
+
+def test_playlist_locks_rate_to_first_file(tmp_path):
+    """With no target rate, the playlist must not change sample_rate
+    mid-stream (the engine reads it once): later files resample to the
+    first file's native rate."""
+    write_wav(tmp_path / "a.wav", (np.ones(1600) * 50).astype(np.int16), sr=16000)
+    write_wav(tmp_path / "b.wav", (np.ones(4410) * 50).astype(np.int16), sr=44100)
+    src = PlaylistAudioSource(
+        [str(tmp_path / "a.wav"), str(tmp_path / "b.wav")], sample_rate=None
+    )
+    src.open()
+    assert src.sample_rate == 16000
+    total = 0
+    while (chunk := src.read(512)).size:
+        total += chunk.size
+        assert src.sample_rate == 16000  # never flips mid-stream
+    # b.wav's 0.1 s at 44.1k resamples to ~1600 samples at 16k
+    assert abs(total - 3200) <= 5
+
+
+def test_file_source_empty_file_keeps_target_rate(tmp_path):
+    """An empty file with a requested target rate must report the target,
+    not the file's native rate (the engine refreshes its rate post-open)."""
+    write_wav(tmp_path / "e.wav", np.zeros(0, np.int16), sr=44100)
+    src = FileAudioSource(str(tmp_path / "e.wav"), sample_rate=16000)
+    src.open()
+    assert src.sample_rate == 16000
+    assert src.read(100).size == 0

@@ -62,3 +62,32 @@ def test_real_time_factor():
     assert rtf.elapsed >= 0.02
     assert rtf.speedup <= 50.0
     assert np.isclose(rtf.factor * rtf.speedup, 1.0)
+
+
+def test_real_time_factor_zero_guards():
+    """elapsed==0 means unmeasurably fast (inf x), not 0 x; audio==0 with
+    wall time means infinitely slow (inf factor), not 0."""
+    from sspv_tpu.utils.profiling import RealTimeFactor
+
+    rtf = RealTimeFactor(audio_seconds=2.0)
+    assert rtf.speedup == float("inf")  # elapsed still 0
+    assert rtf.factor == 0.0
+    rtf2 = RealTimeFactor(audio_seconds=0.0)
+    rtf2.elapsed = 1.0
+    assert rtf2.factor == float("inf")
+    assert rtf2.speedup == 0.0
+    rtf3 = RealTimeFactor(audio_seconds=0.0)
+    assert rtf3.factor == 0.0 and rtf3.speedup == 0.0
+
+
+def test_session_duration_guards_zero_rate():
+    from sspv_tpu.utils.npz_io import SessionData, validate_session
+
+    s = SessionData(
+        energies=np.zeros(5), zcrs=np.zeros(5), vads=np.zeros(5, np.int32),
+        spec_entropy=np.zeros(5, np.float32),
+        vads_adaptive=np.zeros(5, np.float32),
+        sample_rate=0, frame_size=320, hop_size=160,
+    )
+    assert s.duration_seconds == 0.0  # no ZeroDivisionError
+    assert any("sample_rate" in p for p in validate_session(s))
