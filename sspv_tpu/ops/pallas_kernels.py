@@ -33,13 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-try:  # TPU-specific memory spaces; absent on some builds
-    from jax.experimental.pallas import tpu as pltpu
-
-    _VMEM = pltpu.VMEM
-except Exception:  # pragma: no cover
-    pltpu = None
-    _VMEM = None
+from .pallas_common import block_specs
 
 __all__ = ["fused_features"]
 
@@ -141,14 +135,8 @@ def _fused_call(
 ):
     f_pad = frames.shape[0]
     grid = (f_pad // block_frames,)
-    interpret = jax.default_backend() != "tpu"
+    interpret, vmem_spec, const = block_specs()
 
-    def vmem_spec(block_shape, index_map):
-        if _VMEM is not None and not interpret:
-            return pl.BlockSpec(block_shape, index_map, memory_space=_VMEM)
-        return pl.BlockSpec(block_shape, index_map)
-
-    const = lambda shape: vmem_spec(shape, lambda i: (0, 0))
     kernel = functools.partial(
         _feature_kernel, frame_size=frame_size, n_bins=n_bins,
         compute_entropy=compute_entropy, precision=precision,
@@ -208,11 +196,14 @@ def fused_features(
         from .precision import resolve
 
         precision = resolve(precision)
+    kernel_precision = precision
     if precision == jax.lax.Precision.HIGH:
         # Mosaic lowers DEFAULT and HIGHEST dots only; HIGH (bf16x3 passes)
         # has no in-kernel lowering rule and raises NotImplementedError at
-        # compile. Round up so the precision knob never crashes the TPU path.
-        precision = _HIGHEST
+        # compile. Round up the KERNEL's dots so the precision knob never
+        # crashes the TPU path — but only the kernel's: the outside-kernel
+        # entropy matmuls below are plain XLA and honor HIGH as configured.
+        kernel_precision = _HIGHEST
     f, frame_size = frames.shape
     n_bins = wc.shape[1]
     num_ceps = dct.shape[1]
@@ -235,7 +226,7 @@ def fused_features(
         num_ceps=num_ceps,
         block_frames=block_frames,
         compute_entropy=entropy_bases[0] is None,
-        precision=precision,
+        precision=kernel_precision,
     )
     out = {
         "energy": energy[:f, 0],

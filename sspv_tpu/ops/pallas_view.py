@@ -46,13 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-try:  # TPU-specific memory spaces; absent on some builds
-    from jax.experimental.pallas import tpu as pltpu
-
-    _VMEM = pltpu.VMEM
-except Exception:  # pragma: no cover
-    pltpu = None
-    _VMEM = None
+from .pallas_common import block_specs
 
 __all__ = ["fused_view_features", "fused_view_pitch"]
 
@@ -174,7 +168,7 @@ def _fused_view_call(
 ):
     f_pad = top.shape[0]
     grid = (f_pad // block_frames,)
-    interpret = jax.default_backend() != "tpu"
+    interpret, vmem_spec, const = block_specs()
 
     # Constant-operand bf16 splits, outside the kernel (tiny; XLA fuses or
     # folds them — merged is (frame, n_fft), the rest are smaller).
@@ -182,12 +176,6 @@ def _fused_view_call(
     fbhi, fblo = _split_bf16(fb_live)
     dcthi, dctlo = _split_bf16(dct)
 
-    def vmem_spec(block_shape, index_map):
-        if _VMEM is not None and not interpret:
-            return pl.BlockSpec(block_shape, index_map, memory_space=_VMEM)
-        return pl.BlockSpec(block_shape, index_map)
-
-    const = lambda shape: vmem_spec(shape, lambda i: (0, 0))
     kernel = functools.partial(
         _view_kernel, frame_size=frame_size, half=half
     )
@@ -296,7 +284,7 @@ def _fused_pitch_call(
 ):
     f_pad = top.shape[0]
     grid = (f_pad // block_frames,)
-    interpret = jax.default_backend() != "tpu"
+    interpret, vmem_spec, const = block_specs()
     frame_size = top.shape[1] * 2
     n_fft = merged.shape[1]
     n_lags = inv_live.shape[1]
@@ -305,12 +293,6 @@ def _fused_pitch_call(
     mhi, mlo = _split_bf16(merged)
     invhi, invlo = _split_bf16(inv_live)
 
-    def vmem_spec(block_shape, index_map):
-        if _VMEM is not None and not interpret:
-            return pl.BlockSpec(block_shape, index_map, memory_space=_VMEM)
-        return pl.BlockSpec(block_shape, index_map)
-
-    const = lambda shape: vmem_spec(shape, lambda i: (0, 0))
     kernel = functools.partial(
         _pitch_kernel, half=half, lag_min=lag_min, lag_max=lag_max,
         sample_rate=sample_rate,

@@ -25,7 +25,6 @@ bucketed shapes), `process_signal` the offline batch API.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -169,6 +168,11 @@ class FeaturePipeline:
 
     def __init__(self, cfg: FeatureConfig | None = None):
         self.cfg = cfg or FeatureConfig()
+        if self.cfg.num_ceps > self.cfg.num_filters:
+            # A length-N DCT-II has exactly N coefficients: clamp like
+            # compute_mfcc (frequency_features.py) and the reference's
+            # full-DCT-then-slice, instead of emitting aliased extra columns.
+            self.cfg = self.cfg._replace(num_ceps=self.cfg.num_filters)
         c = self.cfg
         from .windows import get_window
 
@@ -211,8 +215,10 @@ class FeaturePipeline:
             and _pallas_available()
             # the kernel's matmuls are manual 3-pass bf16 (== "high"); a
             # pinned "highest" (strict f32 parity) must NOT be silently
-            # downgraded, so the XLA view path serves that setting
-            and c.precision != "highest"
+            # downgraded, so the XLA view path serves that setting. Compare
+            # the RESOLVED precision: "HIGHEST"/whitespace/unknown spellings
+            # all resolve to HIGHEST and must hit this gate too.
+            and self._precision != _HIGHEST
             and c.frame_size == 2 * c.hop_size
             and self._wm is not None
             and self._wc_ent is None
@@ -812,13 +818,23 @@ class FeaturePipeline:
         psig = np.pad(sig, (0, target - len(sig))) if target else sig
         n_pad = 1 + (len(psig) - c.frame_size) // c.hop_size
         pvad = np.zeros((n_pad,), np.int32)
-        pvad[:n] = vad[:n]
+        # vad may be ceil-framed (pad_tail) while n_pad is floor-framed on
+        # the bucketed signal: when the signal lands exactly on a bucket (or
+        # beyond the largest), n can exceed n_pad by one — copy the overlap
+        # and zero-fill (unvoiced) the missing tail frames below.
+        m = min(n, n_pad)
+        pvad[:m] = vad[:m]
         fn = pitch_track_signal_jit(
             frame_size=c.frame_size, hop_size=c.hop_size, sample_rate=sr,
             fmin=float(fmin), fmax=float(fmax),
         )
         f0, conf = fn(psig, pvad, np.float32(min_confidence))
-        return np.asarray(f0)[:n], np.asarray(conf)[:n]
+        f0 = np.asarray(f0)[:n]
+        conf = np.asarray(conf)[:n]
+        if n > f0.shape[0]:
+            f0 = np.pad(f0, (0, n - f0.shape[0]))
+            conf = np.pad(conf, (0, n - conf.shape[0]))
+        return f0, conf
 
     def process_signal_device(
         self, signal, state: vad_ops.VadState | None = None
@@ -906,9 +922,3 @@ class FeaturePipeline:
         if int(frames.shape[0]) == 0:
             return self._empty_block(), state
         return self.process_block(frames, state)
-
-
-@functools.lru_cache(maxsize=8)
-def default_pipeline(cfg: FeatureConfig | None = None) -> FeaturePipeline:
-    """Shared pipeline instance for a given static config."""
-    return FeaturePipeline(cfg or FeatureConfig())

@@ -185,7 +185,11 @@ def pitch_track_signal(
         merged, nyq_b, inv_live, inv_nyq = _acf_dft_bases_merged(
             frame_size, lag_max
         )
-        if use_kernel and precision != "highest":
+        # resolve once so non-canonical spellings that map to HIGHEST
+        # ("HIGHEST", whitespace, unknown names) gate the bf16 kernel off
+        # exactly like the canonical string
+        hp = _resolve_precision(precision)
+        if use_kernel and hp != jax.lax.Precision.HIGHEST:
             # Fused Pallas variant: intermediates (DFT output, power, ACF)
             # stay in VMEM; manual 3-pass bf16 matmuls (ops/pallas_view.py).
             # Opt-in pending the on-chip A/B (tools/viewkernel_ab.py --pitch).
@@ -211,7 +215,6 @@ def pitch_track_signal(
         half = merged.shape[1] // 2
         rows = x[: (n + 1) * hop].reshape(n + 1, hop)
         top, bot = rows[:-1], rows[1:]
-        hp = _resolve_precision(precision)
         m = jnp.matmul(top, jnp.asarray(merged[:hop]), precision=hp,
                        preferred_element_type=jnp.float32) + jnp.matmul(
             bot, jnp.asarray(merged[hop:]), precision=hp,

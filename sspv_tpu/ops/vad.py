@@ -461,7 +461,11 @@ def streaming_vad(
         # last_voiced: relative to the next block start == index n_valid.
         idx = jnp.arange(f, dtype=jnp.int32)
         seeds = jnp.where(vad_initial_masked, idx, _NEG_LARGE)
-        last_any = jnp.maximum(jnp.max(seeds), state.last_voiced)
+        # initial= keeps a zero-frame masked block (f == 0) from crashing
+        # jnp.max's empty reduction at trace time
+        last_any = jnp.maximum(
+            jnp.max(seeds, initial=-(2 ** 30)), state.last_voiced
+        )
         new_last = last_any - n_valid
     else:
         new_count = jnp.minimum(state.count + f, history_len)

@@ -75,3 +75,43 @@ def test_auto_int16_input_bit_identical_to_f32():
     b, _ = pipe.process_signal_device(sig16.astype(np.float32))
     for fa, fb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_pitch_signal_auto_exact_bucket_with_ceil_vad():
+    """A signal landing exactly on a bucket boundary with a non-hop-aligned
+    tail used to crash pitch_signal_auto: the ceil-framed vad (from
+    process_signal pad_tail) has one more frame than the floor-framed padded
+    signal. Outputs must come back at len(vad) with a zero tail."""
+    import jax
+
+    sr = 22050
+    cfg = FeatureConfig(sample_rate=sr)
+    pipe = FeaturePipeline(cfg)
+    rng = np.random.default_rng(7)
+    sig = (rng.normal(0, 1000, 2 * sr)).astype(np.float32)  # == 2 s bucket
+    assert (len(sig) - cfg.frame_size) % cfg.hop_size != 0
+    block, _ = pipe.process_signal(sig)
+    jax.block_until_ready(block)
+    vad = np.asarray(block.vad)
+    f0, conf = pipe.pitch_signal_auto(sig, vad)
+    assert f0.shape == vad.shape and conf.shape == vad.shape
+    # the extra ceil frame has no signal support: reported unvoiced
+    assert f0[-1] == 0.0
+
+
+def test_num_ceps_clamped_to_num_filters():
+    """num_ceps > num_filters must clamp (a length-N DCT-II has N coeffs),
+    matching compute_mfcc and the reference's full-DCT-then-slice."""
+    pipe = FeaturePipeline(FeatureConfig(num_ceps=30, num_filters=26))
+    assert pipe.cfg.num_ceps == 26
+    block, _ = pipe.process_signal(np.random.default_rng(0)
+                                   .normal(0, 500, 16000).astype(np.float32))
+    assert np.asarray(block.mfcc).shape[1] == 26
+
+
+def test_view_kernel_gate_uses_resolved_precision():
+    """Spellings that resolve to HIGHEST ('HIGHEST', ' highest ', unknown
+    names) must gate the bf16 view kernel off exactly like 'highest'."""
+    for name in ("HIGHEST", " highest ", "strict-unknown"):
+        pipe = FeaturePipeline(FeatureConfig(precision=name, view_kernel=True))
+        assert not pipe._use_view_kernel, name

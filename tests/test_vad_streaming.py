@@ -330,3 +330,24 @@ def test_full_pipeline_signal_matches_sequential_oracle():
 
     np.testing.assert_array_equal(np.asarray(block.vad), want_vad)
     np.testing.assert_array_equal(np.asarray(block.vad_adaptive), want_adp)
+
+
+def test_streaming_vad_empty_masked_block():
+    """A zero-frame block with a valid mask must not crash the masked
+    state-correction (empty jnp.max reduction) and must leave state
+    unchanged."""
+    import jax.numpy as jnp
+
+    from sspv_tpu.ops.vad import initial_vad_state, streaming_vad
+
+    state = initial_vad_state(history_len=8, hangover_on=3)
+    empty = jnp.zeros((0,), jnp.float32)
+    vad, vad_a, new_state = streaming_vad(
+        empty, empty, empty, state,
+        energy_threshold=1000.0, zcr_threshold=0.3, entropy_voice_max=0.65,
+        use_adaptive=True, adaptive_alpha=0.95, history_len=8,
+        valid=jnp.zeros((0,), bool),
+    )
+    assert vad.shape == (0,)
+    assert int(new_state.count) == int(state.count)
+    assert int(new_state.last_voiced) == int(state.last_voiced)
