@@ -119,7 +119,13 @@ def main() -> None:
     # detection on VAD-gated voiced segments"): the jitted signal-level
     # track — on-device framing + Wiener-Khinchin matmul ACF + banded peak
     # pick — gated on the composite VAD the main pipeline just produced.
-    from sspv_tpu.ops.pitch import pitch_track_signal
+    from sspv_tpu.ops.pitch import pitch_track_signal_jit
+
+    # the jitted production callable — the same cached wrapper the serving
+    # layer and batch CLI dispatch through (one program per shape); the
+    # eager pitch_track_signal would time ~12 separate dispatches per call
+    # on the tunneled link
+    pitch_fn = pitch_track_signal_jit()
 
     # Pitch runs on the first hour: its banded-ACF intermediates are
     # materialized (not scanned), so a 4 h single call would hold ~5 GB of
@@ -130,17 +136,17 @@ def main() -> None:
     pitch_frames = 1 + (pn - 320) // 160
     sig_p = sig[:pn]
     vad_gate = block.vad[:pitch_frames]
-    f0, _ = pitch_track_signal(sig_p, vad_gate)  # compile/warm
+    f0, _ = pitch_fn(sig_p, vad_gate, np.float32(0.3))  # compile/warm
     jax.block_until_ready(f0)
     tails = []
     t0 = time.perf_counter()
     for _ in range(reps):
-        f0, conf = pitch_track_signal(sig_p, vad_gate)
+        f0, conf = pitch_fn(sig_p, vad_gate, np.float32(0.3))
         tails.append(f0[-1] + conf[-1])
     _ = float(jax.device_get(jnp.stack(tails).sum()))
     pitch_pipelined = (time.perf_counter() - t0) / reps
     t0 = time.perf_counter()
-    f0, conf = pitch_track_signal(sig_p, vad_gate)
+    f0, conf = pitch_fn(sig_p, vad_gate, np.float32(0.3))
     jax.block_until_ready(f0)
     _ = float(jax.device_get(f0[-1]))
     pitch_serialized = time.perf_counter() - t0

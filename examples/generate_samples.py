@@ -73,36 +73,8 @@ def main() -> None:
         REPO, "examples", "sample_outputs")
     os.makedirs(outdir, exist_ok=True)
 
+    from _sources import ArraySource
     from sspv_tpu.runtime import AudioRuntime
-    from sspv_tpu.runtime.audio_source import AudioSource
-
-    class ArraySource(AudioSource):
-        def __init__(self, data):
-            from sspv_tpu.config import Config
-
-            self.sample_rate = Config.SAMPLE_RATE
-            self.channels = 1
-            self._data = data
-            self._pos = 0
-            self.exhausted = False
-
-        def open(self):
-            self._pos = 0
-            self.exhausted = False
-
-        def read(self, n):
-            if self._pos >= len(self._data):
-                self.exhausted = True
-                return np.array([], dtype=np.int16)
-            end = min(len(self._data), self._pos + n)
-            chunk = self._data[self._pos:end]
-            self._pos = end
-            if self._pos >= len(self._data):
-                self.exhausted = True
-            return chunk
-
-        def close(self):
-            pass
 
     import jax
 
@@ -115,7 +87,7 @@ def main() -> None:
     # shared-pipeline pattern for exactly this reason)
     shared_pipe = FeaturePipeline(FeatureConfig.from_config(Config))
     for name, sig in _paced_signals():
-        rt = AudioRuntime(audio_source=ArraySource(sig), pipeline=shared_pipe)
+        rt = AudioRuntime(audio_source=ArraySource(sig, Config.SAMPLE_RATE), pipeline=shared_pipe)
         rt.auto_stop_on_eof = True
         rt.start()
         t0 = time.time()
@@ -123,8 +95,12 @@ def main() -> None:
             time.sleep(0.01)
         rt.stop()
         assert rt.last_error is None, rt.last_error
-        path = rt.save_data(outdir)
         n = len(rt.processed_data)
+        # a timed-out/partial run (tunnel outage, cold remote compile past
+        # the 600 s wait) must not be committed as a sample artifact
+        expected = 1 + (len(sig) - Config.FRAME_SIZE) // Config.HOP_SIZE
+        assert n == expected, (name, n, expected)
+        path = rt.save_data(outdir)
         # name the file by its content, keeping the reference's prefix scheme
         dst = os.path.join(outdir, f"voice_processing_data_{name}.npz")
         os.replace(path, dst)

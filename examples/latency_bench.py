@@ -29,50 +29,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-class PacedSource:
-    """Real-time-paced synthetic int16 source; records when each chunk's
-    last sample became available to the engine."""
-
-    def __init__(self, seconds: float, chunk_samples: int, sample_rate: int):
-        self.sample_rate = sample_rate
-        self.channels = 1
-        self.chunk_samples = chunk_samples
-        n = int(seconds * sample_rate)
-        rng = np.random.default_rng(0)
-        t = np.arange(n) / sample_rate
-        sig = rng.normal(0, 600, n)
-        voiced = ((t * 2).astype(int) % 2) == 1
-        sig = np.where(voiced, 9000 * np.sin(2 * np.pi * 150 * t), sig)
-        self._data = sig.astype(np.int16)
-        self._pos = 0
-        self.exhausted = False
-        self.chunk_end_times: list[float] = []
-        self._t0 = None
-
-    def open(self) -> None:
-        self._pos = 0
-        self.exhausted = False
-        self._t0 = time.perf_counter()
-
-    def read(self, num_frames: int) -> np.ndarray:
-        # serve fixed-size chunks at their real-time due moment
-        if self._pos >= len(self._data):
-            self.exhausted = True
-            return np.array([], dtype=np.int16)
-        end = min(len(self._data), self._pos + self.chunk_samples)
-        due = (end / self.sample_rate) + self._t0
-        now = time.perf_counter()
-        if now < due:
-            time.sleep(due - now)
-        chunk = self._data[self._pos:end]
-        self._pos = end
-        if self._pos >= len(self._data):
-            self.exhausted = True
-        self.chunk_end_times.append(time.perf_counter())
-        return chunk
-
-    def close(self) -> None:
-        pass
+from _sources import DueTimePacedSource, speech_signal  # noqa: E402
 
 
 def run_once(mode: str, chunk: int, seconds: float, warmup_s: float) -> dict:
@@ -88,7 +45,9 @@ def run_once(mode: str, chunk: int, seconds: float, warmup_s: float) -> dict:
     Config.TPU_LOW_LATENCY = 1 if mode == "ll" else 0
     Config.PROCESSED_DATA_BUFFER_SIZE = 10**6  # keep every frame observable
 
-    src = PacedSource(seconds, chunk, Config.SAMPLE_RATE)
+    src = DueTimePacedSource(
+        speech_signal(seconds, Config.SAMPLE_RATE), Config.SAMPLE_RATE, chunk
+    )
     rt = AudioRuntime(audio_source=src)
     rt.auto_stop_on_eof = True
 

@@ -25,66 +25,19 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-class FloodSource:
+from _sources import ArraySource, WallClockPacedSource, speech_signal  # noqa: E402
+
+
+def FloodSource(seconds, sample_rate, seed=0, chunk_samples=16000):
     """Serves ``seconds`` of synthetic speech as fast as the engine asks."""
-
-    def __init__(self, seconds: float, sample_rate: int, seed: int = 0,
-                 chunk_samples: int = 16000):
-        self.sample_rate = sample_rate
-        self.channels = 1
-        n = int(seconds * sample_rate)
-        rng = np.random.default_rng(seed)
-        t = np.arange(n) / sample_rate
-        sig = rng.normal(0, 600, n)
-        voiced = ((t * 2).astype(int) % 2) == 1
-        sig = np.where(voiced, 9000 * np.sin(2 * np.pi * (120 + 40 * seed) * t), sig)
-        self._data = sig.astype(np.int16)
-        self._pos = 0
-        self._chunk = chunk_samples
-        self.exhausted = False
-
-    def open(self) -> None:
-        self._pos = 0
-        self.exhausted = False
-
-    def read(self, num_frames: int) -> np.ndarray:
-        if self._pos >= len(self._data):
-            self.exhausted = True
-            return np.array([], dtype=np.int16)
-        end = min(len(self._data), self._pos + self._chunk)
-        chunk = self._data[self._pos:end]
-        self._pos = end
-        if self._pos >= len(self._data):
-            self.exhausted = True
-        return chunk
-
-    def close(self) -> None:
-        pass
+    sig = speech_signal(seconds, sample_rate, seed=seed, tone_hz=120 + 40 * seed)
+    return ArraySource(sig, sample_rate, chunk_samples=chunk_samples)
 
 
-class PacedSource(FloodSource):
+def PacedSource(seconds, sample_rate, seed=0, chunk_samples=16000):
     """FloodSource clocked to real time (a live microphone's cadence)."""
-
-    def open(self) -> None:
-        super().open()
-        self._t0 = time.monotonic()
-
-    def read(self, num_frames: int) -> "np.ndarray":
-        import numpy as _np
-
-        target = int((time.monotonic() - self._t0) * self.sample_rate)
-        if self._pos >= min(target, len(self._data)):
-            if self._pos >= len(self._data):
-                self.exhausted = True
-                return _np.array([], dtype=_np.int16)
-            time.sleep(0.004)
-            return _np.array([], dtype=_np.int16)
-        end = min(len(self._data), self._pos + self._chunk, target)
-        chunk = self._data[self._pos:end]
-        self._pos = end
-        if self._pos >= len(self._data):
-            self.exhausted = True
-        return chunk
+    sig = speech_signal(seconds, sample_rate, seed=seed, tone_hz=120 + 40 * seed)
+    return WallClockPacedSource(sig, sample_rate, chunk_samples=chunk_samples)
 
 
 def _paced_serving(n_streams: int, seconds: float) -> int:

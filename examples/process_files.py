@@ -74,10 +74,15 @@ def _blocks_sharded(pipe, files, sample_rate, hop, frame):
             yield pcm, block
         return
     bp = BatchPipeline(mesh, pipe.cfg)
-    signals = np.zeros((b, max_len), dtype=np.float32)
+    # masked batch API: padded frames are masked out of each signal's VAD
+    # state on device, so there is no hand-rolled truncation arithmetic to
+    # keep in sync with the framing formula (the per-file frame counts below
+    # are only used to slice the outputs back out)
+    signals = np.zeros((b, max_len), dtype=np.int16)
     for i, pcm in enumerate(pcms):
-        signals[i, : len(pcm)] = pcm
-    batch_block, _ = bp.process_batch(signals)
+        signals[i, : len(pcm)] = np.asarray(pcm, np.int16)
+    lengths = np.array([len(p) for p in pcms] + [0] * (b - len(pcms)), np.int32)
+    batch_block, _ = bp.process_batch_masked(signals, lengths)
     batch_block = jax.device_get(batch_block)
     for i, pcm in enumerate(pcms):
         nf = max(0, 1 + (len(pcm) - frame) // hop) if len(pcm) >= frame else 0
@@ -96,10 +101,8 @@ def main(argv: list[str]) -> int:
 
     from sspv_tpu.config import Config
     from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
-    from sspv_tpu.ops.pitch import pitch_track
     from sspv_tpu.ui.files import collect_audio_files
     from sspv_tpu.utils.cache import enable_persistent_cache
-    from sspv_tpu.utils.native import frame_i16_to_f32
 
     enable_persistent_cache()
     files = collect_audio_files(in_dir)
@@ -121,12 +124,11 @@ def main(argv: list[str]) -> int:
     )
     for path, (pcm, block) in zip(files, blocks):
         total_audio += len(pcm) / Config.SAMPLE_RATE
-        frames = frame_i16_to_f32(pcm, Config.FRAME_SIZE, Config.HOP_SIZE)
-        f0, _conf = (
-            pitch_track(frames, np.asarray(block.vad), Config.SAMPLE_RATE)
-            if frames.shape[0]
-            else (np.zeros(0, np.float32), None)
-        )
+        # the single production pitch path (analyze CLI, batch CLI, serving
+        # layer): bucketed jitted signal-view track, int16 shipped to the
+        # device, no host frame matrix — exported f0 matches the serving
+        # layer's output for the same file
+        f0, _conf = pipe.pitch_signal_auto(pcm, np.asarray(block.vad))
         name = os.path.splitext(os.path.basename(path))[0]
         out = os.path.join(out_dir, f"{name}.features.npz")
         np.savez(

@@ -19,46 +19,7 @@ import time
 import numpy as np
 
 
-class LoopingSource:
-    """Endless synthetic speech-like source (AudioSource contract)."""
-
-    def __init__(self, sample_rate: int):
-        self.sample_rate = sample_rate
-        self.channels = 1
-        self.exhausted = False
-        rng = np.random.default_rng(0)
-        n = 10 * sample_rate
-        t = np.arange(n) / sample_rate
-        seg = (t * 2).astype(int) % 4
-        sig = rng.normal(0, 30, n)
-        sig = np.where(seg == 1, 7000 * np.sin(2 * np.pi * 150 * t), sig)
-        sig = np.where(seg == 2, rng.normal(0, 2000, n), sig)
-        self._d = np.clip(sig, -32768, 32767).astype(np.int16)
-        self._p = 0
-        self._t0 = None
-
-    def open(self):
-        self._p = 0
-        self._t0 = time.monotonic()
-
-    def read(self, k):
-        # pace to real time like a microphone would
-        target = int((time.monotonic() - self._t0) * self.sample_rate)
-        if self._p >= target:
-            time.sleep(k / self.sample_rate / 4)
-            return np.array([], np.int16)
-        out = np.empty(k, np.int16)
-        got = 0
-        while got < k:
-            take = min(k - got, len(self._d) - self._p % len(self._d))
-            s = self._p % len(self._d)
-            out[got:got + take] = self._d[s:s + take]
-            got += take
-            self._p += take
-        return out
-
-    def close(self):
-        pass
+from _sources import LoopingPacedSource  # noqa: E402
 
 
 def rss_mb() -> float:
@@ -80,7 +41,7 @@ def main(argv) -> int:
     Config.load_from_env()  # honor RTP_* overrides (e.g. the per-call-leak
     # mitigation RTP_TPU_MIN_DISPATCH_INTERVAL on tunneled dev hardware)
     enable_persistent_cache()
-    rt = AudioRuntime(audio_source=LoopingSource(Config.SAMPLE_RATE))
+    rt = AudioRuntime(audio_source=LoopingPacedSource(Config.SAMPLE_RATE))
     rt.start()
     t0 = time.time()
     ok = True

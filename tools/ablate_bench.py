@@ -20,6 +20,7 @@ cache so re-runs are cheap.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -43,7 +44,7 @@ def pipelined_time(dispatch, consume, reps=4):
 
 def main(argv):
     seconds = float(argv[0]) if argv else 3600.0
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -51,9 +52,9 @@ def main(argv):
     from sspv_tpu.utils.cache import enable_persistent_cache
     from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
 
-    enable_persistent_cache("/root/repo/.jax_cache")
+    enable_persistent_cache()
 
-    sys.path.insert(0, "/root/repo/tests")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
     sr = 16000
     # THE bench signal (bench.synth_signal) so every tool's rows are
     # measured on the same input — a local copy had silently dropped the

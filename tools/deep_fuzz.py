@@ -3,7 +3,8 @@
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 import sys
-sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT); sys.path.insert(0, os.path.join(_ROOT, "tests"))
 import jax
 jax.config.update("jax_platforms", "cpu")
 from jax._src import xla_bridge as xb; xb._clear_backends()
@@ -62,3 +63,4 @@ for seed in range(N_GEOM):
     if np.mean((gm - wm) ** 2) / max(np.mean(wm ** 2), 1e-12) > 1e-5:
         print("MFCC MISMATCH", seed, frame, hop, n_fft, mels, sr); g_fails += 1
 print(f"geometry fuzz: {N_GEOM-g_fails}/{N_GEOM} within gates", flush=True)
+sys.exit(1 if (fails or g_fails) else 0)

@@ -40,7 +40,7 @@ def main(argv) -> int:
     from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
     from sspv_tpu.utils.cache import enable_persistent_cache
 
-    enable_persistent_cache("/root/repo/.jax_cache")
+    enable_persistent_cache()
     sr = 16000
     sig_np = synth_signal(seconds, sr)
     sig = jax.device_put(jnp.asarray(sig_np))

@@ -17,6 +17,7 @@ One JSON line per length. Each new length is one extra remote compile
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -25,7 +26,7 @@ import numpy as np
 
 def main(argv):
     lengths = [float(a) for a in argv] or [3600.0, 7200.0]
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +34,7 @@ def main(argv):
     from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
     from sspv_tpu.utils.cache import enable_persistent_cache
 
-    enable_persistent_cache("/root/repo/.jax_cache")
+    enable_persistent_cache()
     pipe = FeaturePipeline(FeatureConfig())
     state0 = pipe.initial_state()
 

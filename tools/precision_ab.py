@@ -41,7 +41,7 @@ def main(argv) -> int:
     from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
     from sspv_tpu.utils.cache import enable_persistent_cache
 
-    enable_persistent_cache("/root/repo/.jax_cache")
+    enable_persistent_cache()
     sr = 16000
     sig_np = synth_signal(seconds, sr)
     sig = jax.device_put(jnp.asarray(sig_np))
@@ -51,13 +51,18 @@ def main(argv) -> int:
     for v in variants:
         pipes[v] = FeaturePipeline(FeatureConfig(precision=v))
 
-    # parity first (30 s slice vs the NumPy oracle), also warms the
-    # short-signal program; then warm the long program per variant
+    # parity first (30 s slice vs the NumPy oracle), measured on the SAME
+    # signal-view device path the timing loop runs — process_signal would
+    # gate every variant on the frames/Pallas path, where Mosaic rounds
+    # "high" up to HIGHEST and the printed NMSE would not describe the
+    # program being timed (same fix as ablate_bench/viewkernel_ab).
     sub = sig_np[: 30 * sr]
     want = _oracle_features(sub)
     nmse = {}
     for v, pipe in pipes.items():
-        got, _ = pipe.process_signal(sub)
+        got, _ = pipe.process_signal_device(
+            jax.device_put(jnp.asarray(sub)), pipe.initial_state()
+        )
         nmse[v] = {
             "energy": _nmse(got.energy, want["energy"]),
             "zcr": _nmse(got.zcr, want["zcr"]),

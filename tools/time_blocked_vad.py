@@ -9,6 +9,7 @@ full signal. One JSON line per variant (methodology of tools/ablate_bench.py).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -17,14 +18,14 @@ import numpy as np
 
 def main(argv):
     seconds = float(argv[0]) if argv else 3600.0
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
 
     from sspv_tpu.utils.cache import enable_persistent_cache
     from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
 
-    enable_persistent_cache("/root/repo/.jax_cache")
+    enable_persistent_cache()
 
     sr = 16000
     # THE bench signal (bench.synth_signal) so every tool's rows are

@@ -21,6 +21,7 @@ dispatches (small programs; methodology of bench.py).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -45,14 +46,14 @@ def timeit(fn, args, reps=32):
 
 
 def main():
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from sspv_tpu.utils.cache import enable_persistent_cache
 
-    enable_persistent_cache("/root/repo/.jax_cache")
+    enable_persistent_cache()
 
     F, H = 32768, 256
     rng = np.random.default_rng(0)

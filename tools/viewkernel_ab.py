@@ -18,6 +18,7 @@ results persist in .jax_cache.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -27,15 +28,15 @@ import numpy as np
 def main(argv):
     seconds = float(argv[0]) if argv else 14400.0
     reps = int(argv[1]) if len(argv) > 1 else 8
-    sys.path.insert(0, "/root/repo")
-    sys.path.insert(0, "/root/repo/tests")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
     import jax
     import jax.numpy as jnp
 
     from sspv_tpu.utils.cache import enable_persistent_cache
     from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
 
-    enable_persistent_cache("/root/repo/.jax_cache")
+    enable_persistent_cache()
 
     from bench import synth_signal, _oracle_features, _nmse
 
@@ -99,11 +100,16 @@ def main(argv):
         "seconds_per_call": seconds,
     }))
 
-    # Pitch leg (3600 s/call — bench.py's pitch methodology): shipped
-    # hop-phase XLA track vs the fused kernel track.
+    # Pitch leg (bench.py's pitch methodology, capped at the CLI signal
+    # length so a short run can't report throughput against audio it never
+    # processed): shipped hop-phase XLA track vs the fused kernel track,
+    # both jitted (one program per leg — the eager track would time ~12
+    # dispatches per call on the tunneled link).
+    import functools
+
     from sspv_tpu.ops.pitch import pitch_track_signal
 
-    p_seconds = 3600.0
+    p_seconds = min(3600.0, float(seconds))
     pn = int(p_seconds * sr)
     p_frames = 1 + (pn - 320) // 160
     sig_p = sig[:pn]
@@ -112,15 +118,16 @@ def main(argv):
     vad_gate = block.vad[:p_frames]
 
     def measure_pitch(use_kernel, name):
-        f0, conf = pitch_track_signal(sig_p, vad_gate, use_kernel=use_kernel)
+        fn = jax.jit(
+            functools.partial(pitch_track_signal, use_kernel=use_kernel)
+        )
+        f0, conf = fn(sig_p, vad_gate)
         jax.block_until_ready(f0)
         _ = float(jax.device_get(f0[-1]))
         tails = []
         t0 = time.perf_counter()
         for _ in range(reps):
-            f0, conf = pitch_track_signal(
-                sig_p, vad_gate, use_kernel=use_kernel
-            )
+            f0, conf = fn(sig_p, vad_gate)
             tails.append(f0[-1] + conf[-1])
         _ = float(jax.device_get(jnp.stack(tails).sum()))
         per = (time.perf_counter() - t0) / reps
