@@ -305,6 +305,35 @@ class Config:
         return raw
 
     @staticmethod
+    def _coerce_any(val: object, template: object) -> object:
+        """Coerce an already-typed value (YAML mapping entry) to the
+        template's type; raises on anything unparseable so the caller can
+        warn and keep the default. Coercing once here is what lets every
+        Config consumer (engine, pipeline.stream, UI) read knobs without
+        its own defensive parser."""
+        if isinstance(template, bool):
+            if isinstance(val, bool):
+                return val
+            return Config._coerce(str(val).strip(), template)
+        if isinstance(template, int):
+            if isinstance(val, bool):
+                raise ValueError(val)
+            return int(str(val).strip()) if isinstance(val, str) else int(val)
+        if isinstance(template, float):
+            if isinstance(val, bool):
+                raise ValueError(val)
+            return float(str(val).strip()) if isinstance(val, str) else float(val)
+        if isinstance(template, (tuple, list)):
+            if isinstance(val, str):
+                return Config._coerce(val, template)
+            elem = template[0] if len(template) else ""
+            vals = [Config._coerce_any(v, elem) for v in val]
+            return tuple(vals) if isinstance(template, tuple) else vals
+        if isinstance(template, str):
+            return str(val)
+        return val
+
+    @staticmethod
     def load_from_env(prefix: str = "RTP_") -> None:
         """Override attributes from ``<prefix><NAME>`` environment variables
         (e.g. ``RTP_SAMPLE_RATE``), type-cast against each attribute's current
@@ -352,9 +381,40 @@ class Config:
             return False
         known = set(Config._overridable())
         for key in known.intersection(data):
-            setattr(Config, key, data[key])
+            # coerce against the attribute's current type (same contract as
+            # load_from_env): a raw `TPU_MIN_DISPATCH_INTERVAL: 50ms` string
+            # must warn and keep the default here, not kill a consumer
+            # thread later
+            try:
+                setattr(
+                    Config, key, Config._coerce_any(data[key], getattr(Config, key))
+                )
+            except (ValueError, TypeError):
+                logging.warning(
+                    "YAML key %s=%r failed to cast; keeping default",
+                    key, data[key],
+                )
         logging.info("loaded config from YAML: %s", path)
         return True
+
+
+def parse_buckets(value) -> tuple[int, ...]:
+    """Normalize ``TPU_STREAM_BUCKETS`` from a tuple/list or a string like
+    ``"64,512"`` (a YAML/env value that bypassed coercion, or a direct test
+    monkeypatch); falls back to the default set on garbage. The ONE
+    implementation shared by the streaming engine and ``FeaturePipeline
+    .stream`` — two parsers of the same knob had already drifted once."""
+    default = (32, 256, 2048)
+    try:
+        if isinstance(value, str):
+            value = [p for p in value.replace(",", " ").split() if p]
+        buckets = tuple(sorted(int(v) for v in value))
+        if not buckets or any(b <= 0 for b in buckets):
+            raise ValueError(value)
+        return buckets
+    except Exception:
+        logging.warning("invalid TPU_STREAM_BUCKETS %r; using %r", value, default)
+        return default
 
 
 if __name__ == "__main__":

@@ -876,11 +876,11 @@ class FeaturePipeline:
 
         c = self.cfg
         if buckets is None:
-            from ..config import Config
+            from ..config import Config, parse_buckets
 
-            buckets = tuple(sorted(
-                int(b) for b in getattr(Config, "TPU_STREAM_BUCKETS", (32, 256, 2048))
-            ))
+            buckets = parse_buckets(
+                getattr(Config, "TPU_STREAM_BUCKETS", (32, 256, 2048))
+            )
         if state is None:
             state = self.initial_state()
         carry = np.zeros((0,), dtype=np.float32)

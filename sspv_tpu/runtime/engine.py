@@ -43,6 +43,7 @@ from collections import deque
 import numpy as np
 
 from ..config import Config
+from ..config import parse_buckets as _parse_buckets
 from ..ops.pipeline import FeatureConfig, FeaturePipeline
 from .audio_source import AudioSource, PyAudioSource
 
@@ -67,22 +68,6 @@ def _parse_flag(value, default: bool, name: str) -> bool:
         return default
 
 
-def _parse_buckets(value) -> tuple[int, ...]:
-    """Normalize TPU_STREAM_BUCKETS from tuple/list or an env-var string like
-    ``"64,512"`` (Config.load_from_env assigns raw strings to non-numeric
-    attributes); falls back to the default set on garbage."""
-    default = (32, 256, 2048)
-    try:
-        if isinstance(value, str):
-            parts = [p for p in value.replace(",", " ").split() if p]
-            value = [int(p) for p in parts]
-        buckets = tuple(sorted(int(v) for v in value))
-        if not buckets or any(b <= 0 for b in buckets):
-            raise ValueError(value)
-        return buckets
-    except Exception:
-        logger.warning("invalid TPU_STREAM_BUCKETS %r; using %r", value, default)
-        return default
 
 
 def _default_mic_source() -> PyAudioSource:
@@ -121,16 +106,20 @@ class AudioRuntime:
         # windows frames host-side in its per-frame loop; here the window is
         # applied on device, so expose the PIPELINE's window rather than
         # rebuilding one that could silently disagree with it
-        self.window = np.asarray(self.pipeline._window)
+        # a COPY: the pipeline's array is baked into jitted programs as a
+        # traced constant, so an in-place mutation of this public attribute
+        # (legal in the reference, which owned an independent array) must
+        # never write through into compiled-program state
+        self.window = np.array(self.pipeline._window, copy=True)
         self.energy_threshold = Config.ENERGY_THRESHOLD
         self.zcr_threshold = Config.ZCR_THRESHOLD
 
-        # display ring: raw audio chunks for the waveform plot, sized so the
-        # processing path can never starve it
-        display_chunks = max(
-            8, int(Config.WAVEFORM_DISPLAY_LENGTH / max(1, Config.CHUNK_SIZE))
-        )
-        self.audio_display_buffer: deque[np.ndarray] = deque(maxlen=display_chunks)
+        # display ring: raw audio chunks for the waveform plot, bounded by
+        # SAMPLE count (not chunk count: sources that chronically return
+        # short chunks — e.g. a playlist of sub-chunk files — would otherwise
+        # hold less than a full WAVEFORM_DISPLAY_LENGTH window)
+        self.audio_display_buffer: deque[np.ndarray] = deque()
+        self._display_samples = 0
         self.processed_data: deque[dict] = deque(
             maxlen=Config.PROCESSED_DATA_BUFFER_SIZE
         )
@@ -193,6 +182,21 @@ class AudioRuntime:
             self.frame_size == self.pipeline.cfg.frame_size
             and self.hop_size == self.pipeline.cfg.hop_size
         )
+        # parsed HERE (warn-and-default like every other knob), never inside
+        # the processing thread: an unparseable value raising before that
+        # thread's try block would kill it silently — is_running stuck True,
+        # last_error None, capture spinning at backpressure forever
+        try:
+            self._min_dispatch_interval = max(
+                0.0,
+                float(getattr(Config, "TPU_MIN_DISPATCH_INTERVAL", 0.0) or 0.0),
+            )
+        except (TypeError, ValueError):
+            logger.warning(
+                "unparseable TPU_MIN_DISPATCH_INTERVAL=%r; using 0",
+                Config.TPU_MIN_DISPATCH_INTERVAL,
+            )
+            self._min_dispatch_interval = 0.0
 
     def _update_max_pending(self) -> None:
         """Backpressure bound on the capture backlog (samples). The reference
@@ -215,11 +219,14 @@ class AudioRuntime:
     def set_audio_source(
         self, audio_source: AudioSource | None, auto_stop_on_eof: bool = False
     ) -> None:
-        """Swap the input source (None → microphone); stops first if running
-        and clears buffers and adaptive-VAD history (hangover state is
-        intentionally preserved across swaps, as in the reference)."""
-        if self.is_running:
-            self.stop()
+        """Swap the input source (None → microphone); stops first and clears
+        buffers and adaptive-VAD history (hangover state is intentionally
+        preserved across swaps, as in the reference)."""
+        # stop() UNCONDITIONALLY: after an auto-stop-on-EOF is_running is
+        # already False but the processing thread may still be draining its
+        # in-flight block — an is_running gate here would race that drain
+        # against the buffer clears and the state reset below
+        self.stop()
         self.audio_source = audio_source or _default_mic_source()
         # sources that only learn their rate in open() report 0 here; use
         # the model rate for backpressure sizing until the capture thread
@@ -238,6 +245,7 @@ class AudioRuntime:
             self.energy_history.clear()
             self.zcr_history.clear()
             self.audio_display_buffer.clear()
+            self._display_samples = 0
         # reset history, keep hangover distance: the last_voiced slot is an
         # int32 bitcast into the f32 packed state, so the copy must move raw
         # bits — an int32-view assignment, never a float assignment (some
@@ -256,6 +264,12 @@ class AudioRuntime:
     def start(self) -> None:
         if self.is_running:
             return
+        # join threads from a previous run that are still draining (e.g.
+        # after an auto-stop-on-EOF with no intervening stop()): two process
+        # loops must never share the VAD state or the pending buffers
+        for t in (self._capture_thread, self._process_thread):
+            if t is not None and t.is_alive():
+                t.join()
         # a fresh run must not look failed to error-polling consumers (the
         # headless UI stops on any non-None last_error): a stale error from
         # a previous source would otherwise kill recovered sessions
@@ -314,6 +328,15 @@ class AudioRuntime:
                     self._pending.append(arr)
                     self._pending_samples += len(arr)
                     self.audio_display_buffer.append(arr.copy())
+                    self._display_samples += len(arr)
+                    # evict whole chunks while the window stays full
+                    while (
+                        self._display_samples - len(self.audio_display_buffer[0])
+                        >= Config.WAVEFORM_DISPLAY_LENGTH
+                    ):
+                        self._display_samples -= len(
+                            self.audio_display_buffer.popleft()
+                        )
         except Exception as e:
             self.last_error = e
             # Stop the engine: a dead capture thread can never produce data
@@ -440,7 +463,7 @@ class AudioRuntime:
         carry = np.zeros((0,), dtype=np.int16)
         inflight = None  # double buffer: one block in flight
         max_bucket = self._buckets[-1]
-        min_interval = float(getattr(Config, "TPU_MIN_DISPATCH_INTERVAL", 0.0) or 0.0)
+        min_interval = self._min_dispatch_interval
         last_dispatch = 0.0
         hop, frame = self.hop_size, self.frame_size
 
@@ -480,6 +503,12 @@ class AudioRuntime:
         try:
             while self.is_running:
                 if min_interval and time.monotonic() - last_dispatch < min_interval:
+                    # publish the ready in-flight block while throttled —
+                    # holding it would delay results by up to min_interval
+                    # for no saved dispatch
+                    if inflight is not None:
+                        self._materialize(inflight)
+                        inflight = None
                     time.sleep(Config.THREAD_SLEEP_TIME)
                     continue
                 payload, n, carry = take(carry)
@@ -491,15 +520,30 @@ class AudioRuntime:
                     continue
                 last_dispatch = time.monotonic()
                 inflight = dispatch_split(payload, n, inflight)
-            # drain: publish the last in-flight block and any tail frames
+            # drain: publish the last in-flight block, then keep taking until
+            # the capture thread has exited AND nothing remains pending — the
+            # capture loop may append its final chunk AFTER is_running flips,
+            # so a single take here could run before that append and strand
+            # the last audio (it would then splice into the next session).
             if inflight is not None:
                 self._materialize(inflight)
                 inflight = None
-            payload, n, carry = take(carry)
-            if n:
-                inflight = dispatch_split(payload, n, None)
-                if inflight is not None:  # low-latency already materialized
-                    self._materialize(inflight)
+            while True:
+                cap = self._capture_thread
+                cap_dead = cap is None or not cap.is_alive()
+                payload, n, carry = take(carry)
+                if n:
+                    inflight = dispatch_split(payload, n, None)
+                    if inflight is not None:  # low-latency already materialized
+                        self._materialize(inflight)
+                        inflight = None
+                    continue
+                if cap_dead:
+                    # liveness was sampled BEFORE the take: a dead capture
+                    # thread's final append happened-before that take, so an
+                    # empty take here means truly drained
+                    break
+                time.sleep(Config.THREAD_SLEEP_TIME)
         except Exception as e:
             self.last_error = e
             self.is_running = False  # see capture-thread note: don't hang pollers

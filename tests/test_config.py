@@ -225,3 +225,36 @@ def test_setup_logging_reapplies_level():
     finally:
         Config.LOG_LEVEL = orig
         Config.setup_logging()
+
+
+def test_yaml_values_are_coerced(tmp_path):
+    """YAML overrides must coerce against the attribute's current type like
+    load_from_env: a raw string for a float knob warns and keeps the
+    default instead of reaching a consumer thread uncoerced."""
+    orig = (Config.TPU_MIN_DISPATCH_INTERVAL, Config.TPU_STREAM_BUCKETS,
+            Config.USE_ADAPTIVE_VAD, Config.SAMPLE_RATE)
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        "TPU_MIN_DISPATCH_INTERVAL: 50ms\n"   # bad -> keep default
+        "TPU_STREAM_BUCKETS: '64,512'\n"      # string -> tuple of ints
+        "USE_ADAPTIVE_VAD: 'false'\n"         # string bool -> bool
+        "SAMPLE_RATE: 8000\n"                 # plain int
+    )
+    try:
+        assert Config.load_from_yaml(str(p)) is True
+        assert Config.TPU_MIN_DISPATCH_INTERVAL == orig[0]
+        assert Config.TPU_STREAM_BUCKETS == (64, 512)
+        assert Config.USE_ADAPTIVE_VAD is False
+        assert Config.SAMPLE_RATE == 8000
+    finally:
+        (Config.TPU_MIN_DISPATCH_INTERVAL, Config.TPU_STREAM_BUCKETS,
+         Config.USE_ADAPTIVE_VAD, Config.SAMPLE_RATE) = orig
+
+
+def test_parse_buckets_shared():
+    from sspv_tpu.config import parse_buckets
+
+    assert parse_buckets("64, 512") == (64, 512)
+    assert parse_buckets([512, 64]) == (64, 512)
+    assert parse_buckets("garbage") == (32, 256, 2048)
+    assert parse_buckets(()) == (32, 256, 2048)

@@ -248,3 +248,83 @@ def test_parse_flag_defensive():
     assert _parse_flag(None, True, "X") is False  # falsy -> off
     assert _parse_flag("garbage", True, "X") is True  # keeps default
     assert _parse_flag("garbage", False, "X") is False
+
+
+def test_source_swap_after_eof_does_not_leak_old_frames():
+    """After an auto-stop-on-EOF, set_audio_source + start (no explicit
+    stop) must join the draining process thread first: the new session's
+    buffers must contain only the new source's frames."""
+    frame, hop = Config.FRAME_SIZE, Config.HOP_SIZE
+    n_a = (99 - 1) * hop + frame  # 99 frames
+    n_b = (49 - 1) * hop + frame  # 49 frames
+    src_a = DummyAudioSource(signal=np.full(n_a, 3000, np.int16),
+                             read_delay_s=0.001)
+    rt = AudioRuntime(audio_source=src_a)
+    rt.auto_stop_on_eof = True
+    rt.start()
+    t0 = time.time()
+    while rt.is_running and time.time() - t0 < 60:
+        time.sleep(0.002)
+    # immediately swap + restart WITHOUT stop(): the old drain must not
+    # race the buffer clears
+    src_b = DummyAudioSource(signal=np.full(n_b, -2000, np.int16))
+    rt.set_audio_source(src_b, auto_stop_on_eof=True)
+    rt.start()
+    t0 = time.time()
+    while rt.is_running and time.time() - t0 < 60:
+        time.sleep(0.002)
+    rt.stop()
+    assert rt.last_error is None, rt.last_error
+    assert len(rt.processed_data) == 49  # only B's frames in the new session
+    assert rt.frames_processed == 99 + 49  # both sessions fully processed
+
+
+def test_stop_never_strands_pending_audio():
+    """stop() must drain every captured sample (the capture thread can
+    append its final chunk after is_running flips)."""
+    sig = np.full(Config.SAMPLE_RATE, 2500, np.int16)  # 1 s
+    src = DummyAudioSource(signal=sig, read_delay_s=0.004)
+    rt = AudioRuntime(audio_source=src)
+    rt.start()
+    time.sleep(0.15)  # mid-stream
+    rt.stop()
+    assert rt.last_error is None, rt.last_error
+    assert rt._pending == [] and rt._pending_samples == 0
+
+
+def test_bad_min_dispatch_interval_does_not_hang(monkeypatch):
+    """An unparseable TPU_MIN_DISPATCH_INTERVAL (raw YAML string) must warn
+    and default, not kill the processing thread with is_running stuck True."""
+    monkeypatch.setattr(Config, "TPU_MIN_DISPATCH_INTERVAL", "50ms")
+    src = DummyAudioSource(duration_sec=0.3)
+    rt = AudioRuntime(audio_source=src)
+    assert rt._min_dispatch_interval == 0.0
+    rt.auto_stop_on_eof = True
+    _run_engine_to_eof(rt, timeout_s=60)
+    assert len(rt.processed_data) > 0
+
+
+def test_engine_window_is_a_copy():
+    """Mutating the public window attribute must not write through into the
+    pipeline's traced-constant window."""
+    rt = AudioRuntime(audio_source=DummyAudioSource(duration_sec=0.05))
+    before = np.array(rt.pipeline._window, copy=True)
+    rt.window[:] = 0.0
+    np.testing.assert_array_equal(np.asarray(rt.pipeline._window), before)
+
+
+def test_display_ring_bounded_by_samples():
+    """Sources returning chronically short chunks must still fill the full
+    WAVEFORM_DISPLAY_LENGTH window (ring bounded by samples, not chunks)."""
+
+    class TinyChunkSource(DummyAudioSource):
+        def read(self, num_frames):
+            return super().read(min(200, num_frames))
+
+    need = Config.WAVEFORM_DISPLAY_LENGTH
+    src = TinyChunkSource(signal=np.arange(3 * need, dtype=np.int16) % 1000)
+    rt = AudioRuntime(audio_source=src)
+    rt.auto_stop_on_eof = True
+    _run_engine_to_eof(rt)
+    audio = rt.get_recent_audio()
+    assert audio.size == need  # a full window, despite 200-sample chunks

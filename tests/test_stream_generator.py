@@ -74,3 +74,19 @@ def test_stream_generator_top_bucket_blocked_path():
     want, _ = pipe.process_signal(sig)
     np.testing.assert_array_equal(got_vad, np.asarray(want.vad))
     np.testing.assert_allclose(got_energy, np.asarray(want.energy), rtol=1e-6)
+
+
+def test_stream_honors_string_buckets(monkeypatch):
+    """A string TPU_STREAM_BUCKETS (uncoerced YAML / direct monkeypatch)
+    must parse through the shared parser, not iterate character-by-character."""
+    from sspv_tpu.config import Config
+    from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
+
+    monkeypatch.setattr(Config, "TPU_STREAM_BUCKETS", "64,512")
+    pipe = FeaturePipeline(FeatureConfig())
+    sig = np.random.default_rng(0).normal(0, 800, 16000).astype(np.float32)
+    chunks = [sig[i:i + 3000] for i in range(0, len(sig), 3000)]
+    total = sum(
+        int(np.asarray(b.energy).shape[0]) for b in pipe.stream(iter(chunks))
+    )
+    assert total == 1 + (len(sig) - 320) // 160
