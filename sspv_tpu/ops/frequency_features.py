@@ -65,10 +65,13 @@ def compute_mfcc(
     # A length-N DCT-II has exactly N coefficients: num_ceps > num_filters
     # truncates to num_filters, matching the reference's full-DCT-then-slice
     # (frequency_features.py:157 yields min(num_filters, num_ceps) columns).
-    num_ceps = min(int(num_ceps), int(num_filters))
     x = jnp.asarray(frames, dtype=jnp.float32)
     if x.size == 0:
-        return jnp.zeros((0, num_ceps), dtype=jnp.float32)
+        # reference shape parity: the empty early-return keeps the CALLER's
+        # num_ceps (the reference clamps only via the DCT slice on the
+        # non-empty path, so its empty shape is (0, num_ceps) unclamped)
+        return jnp.zeros((0, int(num_ceps)), dtype=jnp.float32)
+    num_ceps = min(int(num_ceps), int(num_filters))
     power = power_spectrum(x, n_fft)
     fb = jnp.asarray(
         bases.mel_filterbank_np(num_filters, n_fft, sample_rate, fmin, fmax)

@@ -72,9 +72,10 @@ def frame_signal(signal: jnp.ndarray, frame_size: int, hop_size: int) -> jnp.nda
         # is rows i..i+k-1 concatenated, so k shifted slices cover everything.
         k = frame_size // hop_size
         total_hops = n - 1 + k
+        # rows_needed == (n-1)*hop + frame_size == pad_length identically
+        # when frame_size % hop_size == 0 (same identity stream_frames
+        # documents), so x already has exactly this many samples
         rows_needed = total_hops * hop_size
-        if rows_needed > pad_length:
-            x = jnp.pad(x, (0, rows_needed - pad_length))
         rows = x[: rows_needed].reshape(total_hops, hop_size)
         parts = [rows[i : i + n] for i in range(k)]
         return jnp.concatenate(parts, axis=1)

@@ -21,8 +21,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..config import Config
-
 __all__ = ["RangeTracker", "PlotModel", "PLOT_KINDS"]
 
 PLOT_KINDS = ("waveform", "energy", "zcr", "vad")
@@ -74,7 +72,22 @@ class PlotModel:
         self.zcrs = np.array([])
         self.vads = np.array([])
         self.ranges = dict(_INITIAL_RANGES)
-        self.auto_range = True
+        self._auto_range = True
+
+    @property
+    def auto_range(self) -> bool:
+        return self._auto_range
+
+    @auto_range.setter
+    def auto_range(self, value) -> None:
+        """Re-enabling clears the min/max history: extrema recorded before
+        (or while) auto-range was off must not frame the new data
+        (reference clears on re-enable, visualization.py:244-259)."""
+        value = bool(value)
+        if value and not self._auto_range:
+            for t in self.trackers.values():
+                t.history.clear()
+        self._auto_range = value
 
     def poll(self) -> None:
         self.waveform = self.runtime.get_recent_audio()
@@ -107,5 +120,9 @@ class PlotModel:
         paths = getattr(src, "_paths", None)
         if not paths:
             return ""
+        if bool(getattr(src, "exhausted", False)):
+            # close() resets _index to 0; a finished playlist must read
+            # "file N/N", not "file 1/N"
+            return f"file {len(paths)}/{len(paths)}"
         idx = min(int(getattr(src, "_index", 0)) + 1, len(paths))
         return f"file {idx}/{len(paths)}"

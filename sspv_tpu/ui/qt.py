@@ -143,6 +143,17 @@ class QtVisualizer:
         self.chk_autorange.setChecked(True)
         form.addWidget(self.chk_autostop, 3, 0)
         form.addWidget(self.chk_autorange, 3, 1)
+
+        # populate the per-file combo for the initial (default-scan) mode
+        # and keep it in sync with mode switches — otherwise "Test one file"
+        # and playlist reordering only work after browsing via "Dir…"
+        # (reference populates at construction and on mode change,
+        # visualization.py:500, :775, :794)
+        for radio in (self.radio_mic, self.radio_scan, self.radio_custom):
+            radio.clicked.connect(self._sync_combo)
+        if hasattr(self.path_edit, "editingFinished"):  # real Qt binding
+            self.path_edit.editingFinished.connect(self._sync_combo)
+        self._sync_combo()
         return group
 
     def _build_controls(self):
@@ -182,6 +193,17 @@ class QtVisualizer:
         self.file_combo.clear()
         for f in files:
             self.file_combo.addItem(os.path.basename(f), f)
+
+    def _sync_combo(self):
+        """Repopulate the per-file combo for the ACTIVE source mode."""
+        if self.radio_custom.isChecked():
+            path = self.path_edit.text().strip()
+            files = [path] if os.path.isfile(path) else collect_audio_files(path)
+        elif self.radio_mic.isChecked():
+            files = []
+        else:
+            files = collect_audio_files(default_audio_dir())
+        self._refresh_combo(files)
 
     def _build_source(self):
         from ..runtime.audio_source import FileAudioSource, PlaylistAudioSource
@@ -264,7 +286,12 @@ class QtVisualizer:
         self.result_label.setText(m.summary())
         running = bool(getattr(self.runtime, "is_running", False))
         self.status_label.setText("running" if running else "stopped")
-        exhausted = bool(getattr(self.runtime.audio_source, "exhausted", False))
+        # defensive getattr chain: the runtime is a documented duck-typed
+        # contract (plots.py) — an unhandled AttributeError in a Qt slot
+        # aborts the process under PyQt5
+        exhausted = bool(
+            getattr(getattr(self.runtime, "audio_source", None), "exhausted", False)
+        )
         if self._was_running and not running and exhausted and not self._prompted_eof:
             self._prompted_eof = True
             self._prompt_completion()

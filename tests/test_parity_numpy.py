@@ -291,3 +291,17 @@ def test_dft_layout_geometry_fuzz(frame_size, n_fft, ent_n_fft):
     for feats in (fa, fb):
         assert nmse(np.asarray(feats["mfcc"]), want_mfcc) < 1e-5
         assert nmse(np.asarray(feats["entropy"]), want_ent) < 1e-6
+
+
+def test_compute_mfcc_empty_keeps_caller_num_ceps():
+    """Reference shape parity: the empty early-return uses the caller's
+    num_ceps even when it exceeds num_filters (the reference clamps only
+    on the non-empty path)."""
+    import jax.numpy as jnp
+
+    from sspv_tpu import ops
+
+    out = ops.compute_mfcc(
+        jnp.zeros((0, 320)), 16000, num_filters=26, num_ceps=40
+    )
+    assert out.shape == (0, 40)

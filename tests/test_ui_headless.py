@@ -109,3 +109,49 @@ def test_headless_run_survives_missing_matplotlib(monkeypatch):
         lambda path: (_ for _ in ()).throw(ImportError("no matplotlib")),
     )
     v.run()  # must not raise
+
+
+def test_plot_model_reenable_autorange_clears_history():
+    """Extrema recorded before auto-range was toggled off must not frame
+    data after it is re-enabled."""
+    import numpy as np
+
+    from sspv_tpu.ui.plots import PlotModel
+
+    class FakeRuntime:
+        def __init__(self):
+            self.amplitude = 20000.0
+
+        def get_recent_audio(self):
+            return np.full(100, self.amplitude, dtype=np.float32)
+
+        def get_recent_processed(self):
+            e = np.full(10, self.amplitude)
+            return e, np.full(10, 0.1), np.zeros(10)
+
+    rt = FakeRuntime()
+    m = PlotModel(rt)
+    m.poll()  # loud extrema recorded
+    m.auto_range = False
+    rt.amplitude = 10.0
+    m.poll()
+    m.auto_range = True
+    m.poll()
+    lo, hi = m.ranges["waveform"]
+    assert hi <= 10 * 1.1 + 1e-6  # framed to the quiet data, not the old peak
+
+
+def test_progress_reports_completion_after_close():
+    """A finished playlist (close() reset _index to 0) must read
+    'file N/N', not 'file 1/N'."""
+    from sspv_tpu.ui.plots import PlotModel
+
+    class FakePlaylist:
+        _paths = ["a.wav", "b.wav", "c.wav"]
+        _index = 0
+        exhausted = True
+
+    class FakeRuntime:
+        audio_source = FakePlaylist()
+
+    assert PlotModel(FakeRuntime()).progress() == "file 3/3"
