@@ -17,6 +17,7 @@ import argparse
 import numpy as np
 
 from .config import Config
+from .utils.export import export_features_npz, summarize_features
 
 
 def analyze_file(path: str, png: str | None = None, npz: str | None = None) -> dict:
@@ -46,32 +47,17 @@ def analyze_file(path: str, png: str | None = None, npz: str | None = None) -> d
     # (2x-duplicated samples, 4x the transfer bytes) ever materializes.
     f0, conf = pipe.pitch_signal_auto(pcm, vad)
 
-    voiced_f0 = f0[f0 > 0]
-    summary = {
-        "file": path,
-        "duration_s": round(len(pcm) / Config.SAMPLE_RATE, 3),
-        "frames": int(energy.shape[0]),
-        "voiced_frames": int(vad.sum()),
-        "voiced_pct": round(float(vad.mean()) * 100, 1) if vad.size else 0.0,
-        "mean_energy": float(energy.mean()) if energy.size else 0.0,
-        "mean_zcr": round(float(zcr.mean()), 4) if zcr.size else 0.0,
-        "mean_entropy": round(float(entropy.mean()), 3) if entropy.size else 0.0,
-        "median_f0_hz": round(float(np.median(voiced_f0)), 1) if voiced_f0.size else None,
+    # shared summary fields + npz schema with the batch CLI (utils/export.py)
+    sl = {
+        "energy": energy, "zcr": zcr, "entropy": entropy, "vad": vad,
+        "vad_adaptive": np.asarray(block.vad_adaptive), "mfcc": mfcc,
+        "f0": f0,
     }
+    summary = summarize_features(path, len(pcm), sl, Config.SAMPLE_RATE)
 
     if npz:
-        np.savez(
-            npz,
-            energies=energy.astype(np.float64),
-            zcrs=zcr.astype(np.float64),
-            vads=vad.astype(np.int32),
-            spec_entropy=entropy.astype(np.float32),
-            vads_adaptive=np.asarray(block.vad_adaptive, np.float32),
-            mfcc=mfcc.astype(np.float32),
-            f0=f0.astype(np.float32),
-            sample_rate=np.int32(Config.SAMPLE_RATE),
-            frame_size=np.int32(Config.FRAME_SIZE),
-            hop_size=np.int32(Config.HOP_SIZE),
+        export_features_npz(
+            npz, sl, Config.SAMPLE_RATE, Config.FRAME_SIZE, Config.HOP_SIZE
         )
         summary["npz"] = npz
 

@@ -34,6 +34,7 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from .config import Config
+from .utils.export import export_features_npz, summarize_features
 
 __all__ = ["collect_inputs", "process_corpus", "main"]
 
@@ -75,25 +76,6 @@ def _bucket_len(num_samples: int, buckets_seconds, sample_rate: int) -> int | No
     return None  # beyond the largest bucket
 
 
-def _summarize(path: str, pcm_len: int, sl: dict) -> dict:
-    vad = sl["vad"]
-    f0 = sl.get("f0")
-    voiced_f0 = f0[f0 > 0] if f0 is not None else np.zeros(0)
-    summary = {
-        "file": path,
-        "duration_s": round(pcm_len / Config.SAMPLE_RATE, 3),
-        "frames": int(vad.shape[0]),
-        "voiced_frames": int(vad.sum()),
-        "voiced_pct": round(float(vad.mean()) * 100, 1) if vad.size else 0.0,
-        "mean_energy": float(sl["energy"].mean()) if vad.size else 0.0,
-        "mean_zcr": round(float(sl["zcr"].mean()), 4) if vad.size else 0.0,
-        "mean_entropy": round(float(sl["entropy"].mean()), 3) if vad.size else 0.0,
-    }
-    if f0 is not None:
-        summary["median_f0_hz"] = (
-            round(float(np.median(voiced_f0)), 1) if voiced_f0.size else None
-        )
-    return summary
 
 
 def _unique_npz_path(out_dir: str, path: str, used: set) -> str:
@@ -152,49 +134,65 @@ def process_corpus(
             "vad_adaptive": np.asarray(pick(block.vad_adaptive)).astype(np.int32),
         }
 
-    def add_pitch(sl: dict, sig: np.ndarray, _target=None) -> None:
+    def add_pitch(sl: dict, sig: np.ndarray) -> None:
         sl["f0"], sl["pitch_confidence"] = pipe.pitch_signal_auto(
             sig, sl["vad"]
         )
+
+    # Batched pitch: ONE vmapped device call per (B, L) batch instead of one
+    # ~25 ms-RTT dispatch per file (CLAUDE.md: prefer few large device
+    # calls; at 10k files the per-file dispatches alone cost minutes).
+    _pitch_batch_cache: dict = {}
+
+    def pitch_batch(batch: np.ndarray, vads_masked: np.ndarray) -> tuple:
+        key = batch.shape
+        if key not in _pitch_batch_cache:
+            from .ops.pitch import pitch_track_signal
+
+            _pitch_batch_cache[key] = jax.jit(jax.vmap(
+                lambda s, v: pitch_track_signal(
+                    s, v, c.frame_size, c.hop_size, c.sample_rate
+                )
+            ))
+        f0, conf = _pitch_batch_cache[key](batch, vads_masked)
+        return np.asarray(f0), np.asarray(conf)
 
     used_names: set = set()
 
     def finish(i: int, path: str, pcm_len: int, sl: dict) -> None:
         """Summarize + write npz immediately so feature arrays free per file."""
-        summary = _summarize(path, pcm_len, sl)
+        summary = summarize_features(path, pcm_len, sl, c.sample_rate)
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             npz_path = _unique_npz_path(out_dir, path, used_names)
-            np.savez(
-                npz_path,
-                energies=sl["energy"].astype(np.float64),
-                zcrs=sl["zcr"].astype(np.float64),
-                vads=sl["vad"].astype(np.int32),
-                spec_entropy=sl["entropy"].astype(np.float32),
-                vads_adaptive=sl["vad_adaptive"].astype(np.float32),
-                mfcc=sl["mfcc"].astype(np.float32),
-                **(
-                    {"f0": sl["f0"].astype(np.float32)}
-                    if "f0" in sl else {}
-                ),
-                sample_rate=np.int32(c.sample_rate),
-                frame_size=np.int32(c.frame_size),
-                hop_size=np.int32(c.hop_size),
+            export_features_npz(
+                npz_path, sl, c.sample_rate, c.frame_size, c.hop_size
             )
             summary["npz"] = npz_path
         summaries[i] = summary
+
+    def _decode_safe(path: str):
+        """One undecodable file must not abort a 10k-file corpus run."""
+        try:
+            return _decode(path)
+        except Exception as e:
+            return e
 
     summaries: list = [None] * len(files)
     for wlo in range(0, len(files), files_per_pass):
         window = list(range(wlo, min(wlo + files_per_pass, len(files))))
         with ThreadPoolExecutor(max_workers=decode_workers) as pool:
             signals = dict(zip(window, pool.map(
-                _decode, (files[i] for i in window)
+                _decode_safe, (files[i] for i in window)
             )))
 
-        # group this window's file indices by padded bucket length
+        # group this window's file indices by padded bucket length;
+        # undecodable files become error summaries instead of aborting
         groups: dict[int | None, list[int]] = {}
         for i in window:
+            if isinstance(signals[i], Exception):
+                summaries[i] = {"file": files[i], "error": str(signals[i])}
+                continue
             groups.setdefault(
                 _bucket_len(len(signals[i]), buckets, c.sample_rate), []
             ).append(i)
@@ -208,13 +206,17 @@ def process_corpus(
                     n = int(np.asarray(block.vad).shape[0])
                     sl = slice_block(block, None, n)
                     if want_pitch:
-                        add_pitch(sl, sig, None)
+                        add_pitch(sl, sig)
                     finish(i, files[i], len(sig), sl)
                 continue
             for lo in range(0, len(idxs), batch_size):
                 chunk = idxs[lo : lo + batch_size]
-                b = len(chunk)
-                b_pad = -(-b // dp) * dp  # round up to a mesh-divisible batch
+                # Pad EVERY batch to the full (mesh-divisible) batch size:
+                # extra rows carry lengths=0 and are fully masked, so the
+                # compute cost is nil while a ragged tail (1..batch_size-1
+                # files) would otherwise compile a fresh (B, bucket) program
+                # each — minutes per shape on remote-compile hardware.
+                b_pad = -(-batch_size // dp) * dp
                 batch = np.zeros((b_pad, target), np.int16)
                 lengths = np.zeros((b_pad,), np.int32)
                 for row, i in enumerate(chunk):
@@ -224,16 +226,26 @@ def process_corpus(
                 block, _ = bp.process_batch_masked(batch, lengths)
                 jax.block_until_ready(block)
                 n_max = int(np.asarray(block.vad).shape[1])
+                row_n = np.where(
+                    lengths >= c.frame_size,
+                    1 + (lengths - c.frame_size) // c.hop_size,
+                    0,
+                ).astype(np.int32)
+                if want_pitch:
+                    # gate on the per-row TRUE frame range: the hangover can
+                    # spill a few decisions past a short file's boundary
+                    valid = np.arange(n_max)[None, :] < row_n[:, None]
+                    vads_masked = (
+                        np.asarray(block.vad).astype(np.int32) * valid
+                    ).astype(np.int32)
+                    f0_b, conf_b = pitch_batch(batch, vads_masked)
                 for row, i in enumerate(chunk):
                     L = int(lengths[row])
-                    n = (
-                        1 + (L - c.frame_size) // c.hop_size
-                        if L >= c.frame_size else 0
-                    )
-                    n = min(n, n_max)
+                    n = min(int(row_n[row]), n_max)
                     sl = slice_block(block, row, n)
                     if want_pitch:
-                        add_pitch(sl, batch[row], target)
+                        sl["f0"] = f0_b[row][:n]
+                        sl["pitch_confidence"] = conf_b[row][:n]
                     finish(i, files[i], L, sl)
         signals.clear()
 
@@ -255,6 +267,9 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     Config.setup_logging()
+    yaml_path = os.environ.get("RTP_CONFIG_YAML")
+    if yaml_path:  # same override layers as main/analyze/serve
+        Config.load_from_yaml(yaml_path)
     Config.load_from_env()
     Config.setup_logging()  # re-apply a LOG_LEVEL override
     from .utils.cache import enable_persistent_cache
@@ -280,14 +295,16 @@ def main(argv=None) -> int:
     finally:
         if sink:
             sink.close()
-    total_audio = sum(s["duration_s"] for s in summaries)
+    errors = sum(1 for s in summaries if "error" in s)
+    total_audio = sum(s.get("duration_s", 0.0) for s in summaries)
     print(json.dumps({
         "files": len(summaries),
+        "errors": errors,
         "audio_s": round(total_audio, 1),
         "wall_s": round(wall, 2),
         "audio_s_per_s": round(total_audio / wall, 1) if wall else None,
     }), file=sys.stderr)
-    return 0
+    return 0 if errors == 0 else 1
 
 
 if __name__ == "__main__":

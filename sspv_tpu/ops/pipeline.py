@@ -774,8 +774,14 @@ class FeaturePipeline:
             (s * sr for s in self.SIGNAL_BUCKET_SECONDS if len(sig) <= s * sr),
             None,
         )
-        if target is None:  # beyond the largest bucket: exact-length program
-            return self.process_signal_device(sig, state)
+        if target is None:
+            # beyond the largest bucket: quantize to the next MULTIPLE of it
+            # so N oversized files of distinct lengths share one program per
+            # quantum instead of one exact-length compile (minutes each on
+            # remote-compile hardware) per length — the masked path slices
+            # the padding off exactly either way
+            quantum = self.SIGNAL_BUCKET_SECONDS[-1] * sr
+            target = -(-len(sig) // quantum) * quantum
         if target > len(sig):
             sig = np.pad(sig, (0, target - len(sig)))
         block, new_state = self._signal_masked_jit(
@@ -815,7 +821,11 @@ class FeaturePipeline:
             (s * sr for s in self.SIGNAL_BUCKET_SECONDS if len(sig) <= s * sr),
             None,
         )
-        psig = np.pad(sig, (0, target - len(sig))) if target else sig
+        if target is None:
+            # same oversized-length quantization as process_signal_auto
+            quantum = self.SIGNAL_BUCKET_SECONDS[-1] * sr
+            target = -(-len(sig) // quantum) * quantum
+        psig = np.pad(sig, (0, target - len(sig)))
         n_pad = 1 + (len(psig) - c.frame_size) // c.hop_size
         pvad = np.zeros((n_pad,), np.int32)
         # vad may be ceil-framed (pad_tail) while n_pad is floor-framed on

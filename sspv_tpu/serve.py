@@ -89,7 +89,10 @@ def decode_audio(
         if width == 2:
             data = np.frombuffer(raw, dtype="<i2").astype(np.float32)
         elif width == 4:
-            data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 65536.0
+            # arithmetic shift (floor), NOT a float divide-then-truncate:
+            # the FileAudioSource ladder uses >>16, and the same file must
+            # yield identical samples via HTTP and via the batch/analyze CLIs
+            data = (np.frombuffer(raw, dtype="<i4") >> 16).astype(np.float32)
         elif width == 1:  # 8-bit WAV is unsigned
             data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) * 256.0
         else:
@@ -202,7 +205,12 @@ class FeatureService:
         """Compile bucket programs up front so requests do not pay the
         (minutes-long on remote hardware) cold compile: the smallest bucket
         by default, every signal bucket with ``all_buckets=True`` (a
-        production server whose clients send arbitrary-length payloads)."""
+        production server whose clients send arbitrary-length payloads).
+        Also compiles the ``/v1/stream`` path's frame-block programs — they
+        are a separate program set (``process_block`` at the engine bucket
+        shapes) the offline analyze path never touches."""
+        from .config import parse_buckets
+
         c = self.pipe.cfg
         sr = c.sample_rate
         buckets = (
@@ -212,11 +220,68 @@ class FeatureService:
         for sec in buckets:
             sig = np.zeros((sec * sr,), np.int16)
             self.analyze(sig, sr, want_pitch=True)
+        stream_buckets = parse_buckets(
+            getattr(Config, "TPU_STREAM_BUCKETS", (32, 256, 2048))
+        )
+        for b in stream_buckets if all_buckets else stream_buckets[:1]:
+            n = (b - 1) * c.hop_size + c.frame_size
+            for _block in self.pipe.stream(iter([np.zeros((n,), np.int16)])):
+                pass
 
 
 # ---------------------------------------------------------------------------
 # HTTP layer
 # ---------------------------------------------------------------------------
+
+import threading as _threading
+import time as _time
+
+_PROBE_LOCK = _threading.Lock()
+_PROBE_STATE = {"ts": 0.0, "ok": None, "error": "", "inflight": False}
+
+
+def _device_health(timeout_s: float = 2.0, cache_s: float = 15.0):
+    """One bounded device round-trip for /healthz. Results are cached for
+    ``cache_s`` and at most ONE probe is ever in flight: during a tunnel
+    outage device calls BLOCK (for minutes) rather than fail, so an
+    unbounded probe — or one probe thread per poll — would pile up blocked
+    threads exactly when the load balancer polls hardest."""
+    now = _time.monotonic()
+    with _PROBE_LOCK:
+        if _PROBE_STATE["ok"] is not None and now - _PROBE_STATE["ts"] < cache_s:
+            return _PROBE_STATE["ok"], _PROBE_STATE["error"]
+        if _PROBE_STATE["inflight"]:
+            return False, "previous device probe still blocked"
+        _PROBE_STATE["inflight"] = True
+    result = {"ok": False, "error": ""}
+
+    def run():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            jax.block_until_ready(jnp.ones((8, 8)).sum())
+            result["ok"] = True
+        except Exception as e:
+            result["error"] = str(e)
+        finally:
+            with _PROBE_LOCK:
+                _PROBE_STATE.update(
+                    ts=_time.monotonic(), ok=result["ok"],
+                    error=result["error"], inflight=False,
+                )
+
+    th = _threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        # leave inflight=True — run()'s finally clears it when (if) the
+        # blocked dispatch returns; meanwhile polls get the cheap answer
+        err = f"device probe exceeded {timeout_s:.0f}s (tunnel outage?)"
+        with _PROBE_LOCK:
+            _PROBE_STATE.update(ts=_time.monotonic(), ok=False, error=err)
+        return False, err
+    return result["ok"], result["error"]
 
 # Allowed pitch-band edges (Hz). fmin/fmax snap to the nearest grid point:
 # they are jit-static lag-band bounds, so the grid bounds the number of
@@ -294,9 +359,24 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- streaming plumbing -------------------------------------------------
 
+    # Per-yield read bound: a within-limits 512 MB body must arrive as many
+    # small pieces, never one giant allocation (downstream framing would
+    # multiply one huge chunk into multi-GB index/frame matrices).
+    _READ_SLICE = 1 << 20  # 1 MB
+
+    def _read_sliced(self, length: int):
+        remaining = int(length)
+        while remaining:
+            part = self.rfile.read(min(remaining, self._READ_SLICE))
+            if not part:
+                raise ValueError("truncated body")
+            remaining -= len(part)
+            yield part
+
     def _iter_request_chunks(self, max_total: int):
-        """Yield raw body chunks: Transfer-Encoding chunked (RFC 9112 §7.1)
-        or, for simpler clients, one chunk from a Content-Length body."""
+        """Yield raw body chunks (each <= _READ_SLICE bytes):
+        Transfer-Encoding chunked (RFC 9112 §7.1) or, for simpler clients,
+        sliced reads of a Content-Length body."""
         te = (self.headers.get("Transfer-Encoding") or "").lower()
         if "chunked" in te:
             total = 0
@@ -305,28 +385,32 @@ class _Handler(BaseHTTPRequestHandler):
                 if not line:
                     raise ValueError("truncated chunked body")
                 size = int(line.split(b";")[0].strip() or b"0", 16)
+                if size < 0:
+                    # int(..., 16) accepts "-5"; rfile.read(-5) would read
+                    # to EOF, buffering unbounded data PAST max_total
+                    raise ValueError("negative chunk size")
                 if size == 0:
-                    # consume optional trailers up to the final blank line
-                    while True:
+                    # consume optional trailers up to the final blank line —
+                    # bounded, or endless trailer lines pin this thread
+                    for _ in range(100):
                         t = self.rfile.readline(1026)
                         if t in (b"\r\n", b"\n", b""):
                             break
+                    else:
+                        raise ValueError("too many trailer lines")
                     return
                 total += size
                 if total > max_total:
                     raise ValueError("chunked body too large")
-                data = self.rfile.read(size)
-                if len(data) != size:
-                    raise ValueError("truncated chunk")
+                yield from self._read_sliced(size)
                 self.rfile.read(2)  # trailing CRLF
-                yield data
         else:
             length = int(self.headers.get("Content-Length", 0))
             if length <= 0:
                 raise ValueError("missing request body")
             if length > max_total:
                 raise ValueError("request body too large")
-            yield self.rfile.read(length)
+            yield from self._read_sliced(length)
 
     def _write_response_chunk(self, payload: bytes) -> None:
         self.wfile.write(f"{len(payload):x}\r\n".encode() + payload + b"\r\n")
@@ -368,8 +452,22 @@ class _Handler(BaseHTTPRequestHandler):
                 return
         want_mfcc = query.get("mfcc", ["0"])[0] not in ("0", "false", "")
 
+        # Coalesce tiny client chunks before dispatch: one device call per
+        # 10 ms chunk costs ~25 ms tunnel RTT each (CLAUDE.md: prefer few
+        # large device calls) and lets one client saturate the shared XLA
+        # queue. Floor = one smallest-engine-bucket block of samples
+        # (~0.33 s at the defaults) — bounded added latency, engine-grade
+        # dispatch granularity.
+        from .config import parse_buckets
+
+        c = self.service.pipe.cfg
+        min_bucket = parse_buckets(
+            getattr(Config, "TPU_STREAM_BUCKETS", (32, 256, 2048))
+        )[0]
+        min_bytes = 2 * ((min_bucket - 1) * c.hop_size + c.frame_size)
+
         def sample_chunks():
-            carry = b""
+            buf = bytearray()
             first = True
             for raw in self._iter_request_chunks(_MAX_BODY_BYTES):
                 if first:
@@ -379,14 +477,15 @@ class _Handler(BaseHTTPRequestHandler):
                             "body looks like a WAV container; /v1/stream "
                             "takes raw int16 PCM"
                         )
-                raw = carry + raw
-                odd = len(raw) % 2
-                if odd:
-                    raw, carry = raw[:-1], raw[-1:]
-                else:
-                    carry = b""
-                if raw:
-                    yield np.frombuffer(raw, dtype="<i2")
+                buf += raw
+                if len(buf) < min_bytes:
+                    continue
+                usable = len(buf) - (len(buf) % 2)
+                yield np.frombuffer(bytes(buf[:usable]), dtype="<i2")
+                del buf[:usable]
+            usable = len(buf) - (len(buf) % 2)
+            if usable:
+                yield np.frombuffer(bytes(buf[:usable]), dtype="<i2")
 
         # connection becomes ours: chunked response, then close
         self.close_connection = True
@@ -444,6 +543,16 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:  # device down: report, don't crash
                 self._reply_json(503, {"status": "unavailable", "error": str(e)})
                 return
+            # jax.devices() is client-cached after init and never
+            # round-trips; the probe must actually DISPATCH (bounded — a
+            # tunnel outage blocks device calls rather than failing them)
+            ok, err = _device_health()
+            if not ok:
+                self._reply_json(503, {
+                    "status": "degraded", "backend": backend,
+                    "device_count": n, "error": err,
+                })
+                return
             self._reply_json(
                 200, {"status": "ok", "backend": backend, "device_count": n}
             )
@@ -491,9 +600,14 @@ class _Handler(BaseHTTPRequestHandler):
                                  f"snapping to the {_PITCH_GRID_HZ} Hz grid)")
             mc = qfloat("min_confidence", 0.3)
             if not np.isfinite(mc):
-                # NaN would silently clamp to 0.0 and disable gating
+                # NaN would silently clamp and change the gating
                 raise ValueError(f"non-finite min_confidence: {mc}")
-            min_confidence = min(1.0, max(0.0, mc))
+            # clamp to the normalized-ACF range [-1, 1], PRESERVING negative
+            # values: a negative threshold disables confidence gating (the
+            # documented library semantics pitch_track_signal_jit keeps and
+            # tests assert) — clamping to 0 would silently zero every frame
+            # with confidence in [-1, 0)
+            min_confidence = min(1.0, max(-1.0, mc))
             if route[1]:  # pitch route: the band must be feasible for the
                 # frame geometry (e.g. fmax=50 Hz needs lag 320 but a
                 # 320-sample frame tops out at 319) — reject as a client
@@ -581,6 +695,9 @@ def make_server(
 
 def main() -> None:
     Config.setup_logging()
+    yaml_path = os.environ.get("RTP_CONFIG_YAML")
+    if yaml_path:  # same override layers as main/analyze/batch
+        Config.load_from_yaml(yaml_path)
     Config.load_from_env()
     Config.setup_logging()  # re-apply a LOG_LEVEL override
     from .utils.cache import enable_persistent_cache

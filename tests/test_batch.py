@@ -161,3 +161,47 @@ def test_windowed_passes_match_single_pass(tmp_path):
     a = process_corpus(files, out_dir=None, files_per_pass=2)
     b = process_corpus(files, out_dir=None, files_per_pass=256)
     assert a == b
+
+
+def test_undecodable_file_yields_error_summary(tmp_path):
+    """One corrupt file must not abort the corpus: it gets an error summary,
+    every other file is processed normally."""
+    from sspv_tpu.batch import process_corpus
+
+    _write_wav(tmp_path / "good1.wav", 0.5, 150.0)
+    (tmp_path / "bad.wav").write_bytes(b"RIFFgarbage-not-audio")
+    _write_wav(tmp_path / "good2.wav", 0.4, 200.0)
+    files = sorted(str(p) for p in tmp_path.glob("*.wav"))
+    summaries = process_corpus(files, out_dir=None)
+    by_name = {s["file"]: s for s in summaries}
+    assert "error" in by_name[str(tmp_path / "bad.wav")]
+    for good in ("good1.wav", "good2.wav"):
+        s = by_name[str(tmp_path / good)]
+        assert "error" not in s and s["frames"] > 0
+
+
+def test_ragged_tails_share_one_program(tmp_path, monkeypatch):
+    """Every batch pads to the FULL (mesh-divisible) batch size, so ragged
+    tails (here 5 files -> 4 + 1 with batch_size=4) reuse ONE compiled
+    (B, bucket) shape instead of one program per tail size."""
+    import sspv_tpu.parallel as par
+    from sspv_tpu.batch import process_corpus
+
+    for k in range(5):
+        _write_wav(tmp_path / f"t{k}.wav", 0.3, 120.0 + 10 * k)
+    files = sorted(str(p) for p in tmp_path.glob("*.wav"))
+
+    created = []
+    orig = par.BatchPipeline
+
+    class Capture(orig):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            created.append(self)
+
+    monkeypatch.setattr(par, "BatchPipeline", Capture)
+    summaries = process_corpus(files, out_dir=None, batch_size=4)
+    assert all("error" not in s and s["frames"] > 0 for s in summaries)
+    (bp,) = created
+    masked_keys = [k for k in bp._batch_jit if k[0] == "batch_masked"]
+    assert len(masked_keys) == 1, masked_keys

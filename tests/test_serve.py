@@ -411,22 +411,31 @@ def _stream_request(server, samples, chunk_samples=1000, query=""):
 
 
 def test_http_stream_matches_pipeline_stream(server):
+    """Concatenated /v1/stream output must bit-match the offline pipeline
+    over the whole signal regardless of client chunking; the server also
+    COALESCES tiny client chunks so one client can't force one device
+    dispatch per 10 ms chunk."""
+    import jax
+
     samples, _sr = _tone_i16(2.0)
     chunk = 1000
     status, rows = _stream_request(server, samples, chunk_samples=chunk)
     assert status == 200
     assert rows[-1] == {"done": True, "blocks": len(rows) - 1}
     svc = server.RequestHandlerClass.service
-    expect = list(svc.pipe.stream(
-        [samples[lo : lo + chunk] for lo in range(0, len(samples), chunk)]
-    ))
-    assert len(rows) - 1 == len(expect)
+    # coalescing: far fewer blocks than the 32 client chunks
+    n_client_chunks = -(-len(samples) // chunk)
+    assert 0 < len(rows) - 1 < n_client_chunks / 2
+    block, _ = svc.pipe.process_signal(samples)
+    jax.block_until_ready(block)
+    n = sum(r["frames"] for r in rows[:-1])
     got_vad = [v for r in rows[:-1] for v in r["vad"]]
-    want_vad = [int(v) for b in expect for v in np.asarray(b.vad)]
+    want_vad = [int(v) for v in np.asarray(block.vad)[:n]]
     assert got_vad == want_vad
     got_e = np.array([v for r in rows[:-1] for v in r["energy"]])
-    want_e = np.concatenate([np.asarray(b.energy) for b in expect])
-    np.testing.assert_allclose(got_e, want_e, rtol=1e-6)
+    np.testing.assert_allclose(
+        got_e, np.asarray(block.energy)[:n], rtol=1e-6
+    )
     assert "mfcc" not in rows[0]
 
 
@@ -514,3 +523,88 @@ def test_http_infeasible_pitch_band_is_400(server):
         status, body = e.code, e.read()
     assert status == 400
     assert b"lag band" in body
+
+
+def test_decode_wav_32bit_matches_file_ladder_on_negatives():
+    """32-bit scaling must be an arithmetic shift (>>16, floor) like the
+    FileAudioSource ladder — a float divide-then-truncate disagrees by one
+    LSB on negative samples that aren't multiples of 65536."""
+    buf = io.BytesIO()
+    raw = np.array([-65537, -1, 65535, 65537], dtype="<i4")
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(4); w.setframerate(16000)
+        w.writeframes(raw.tobytes())
+    out, _ = decode_audio(buf.getvalue(), "audio/wav")
+    np.testing.assert_array_equal(out, raw >> 16)
+
+
+def test_http_stream_negative_chunk_size_is_rejected(server):
+    """A negative chunked-encoding size must not read to EOF (it would
+    buffer unbounded data past the body cap)."""
+    import http.client
+
+    host, port = server.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    try:
+        conn.putrequest("POST", "/v1/stream")
+        conn.putheader("Content-Type", "application/octet-stream")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        conn.send(b"-5\r\n" + b"x" * 64 + b"\r\n0\r\n\r\n")
+        resp = conn.getresponse()
+        body = resp.read().decode()
+    finally:
+        conn.close()
+    assert "negative chunk size" in body
+
+
+def test_http_stream_trailer_flood_is_bounded(server):
+    """Endless trailer lines after the terminal chunk must error out, not
+    pin the handler thread forever."""
+    import http.client
+
+    host, port = server.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    try:
+        conn.putrequest("POST", "/v1/stream")
+        conn.putheader("Content-Type", "application/octet-stream")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        conn.send(b"0\r\n" + b"x: y\r\n" * 500)  # never sends the blank line
+        resp = conn.getresponse()
+        body = resp.read().decode()
+    finally:
+        conn.close()
+    assert "too many trailer lines" in body
+
+
+def test_http_pitch_negative_min_confidence_disables_gating(server):
+    """min_confidence=-1 must pass through (library semantics: negative
+    threshold keeps every VAD-voiced frame), not clamp to 0."""
+    samples, sr = _tone_i16(1.0)
+    status, _, strict = _post(
+        server, "/v1/pitch?min_confidence=0.99", _wav_bytes(samples, sr)
+    )
+    assert status == 200
+    status, _, permissive = _post(
+        server, "/v1/pitch?min_confidence=-1", _wav_bytes(samples, sr)
+    )
+    assert status == 200
+    n_strict = sum(1 for v in json.loads(strict)["f0"] if v > 0)
+    n_perm = sum(1 for v in json.loads(permissive)["f0"] if v > 0)
+    assert n_perm >= n_strict
+    # permissive keeps every VAD-voiced frame
+    vad = json.loads(permissive)["vad"]
+    f0 = json.loads(permissive)["f0"]
+    assert all((f > 0) == bool(v) for f, v in zip(f0, vad))
+
+
+def test_healthz_probes_the_device(server):
+    """/healthz must dispatch a bounded device op (cached), not just read
+    the client-cached device list."""
+    from sspv_tpu.serve import _PROBE_STATE
+
+    status, health = _get(server, "/healthz")
+    assert status == 200
+    assert health["status"] == "ok"
+    assert _PROBE_STATE["ok"] is True  # a real probe ran and was cached

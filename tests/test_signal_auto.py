@@ -115,3 +115,31 @@ def test_view_kernel_gate_uses_resolved_precision():
     for name in ("HIGHEST", " highest ", "strict-unknown"):
         pipe = FeaturePipeline(FeatureConfig(precision=name, view_kernel=True))
         assert not pipe._use_view_kernel, name
+
+
+def test_oversized_signals_share_quantized_programs():
+    """Signals beyond the largest bucket quantize to multiples of it (one
+    program per quantum, not one exact-length compile per distinct length)
+    and stay exactly equal to the unpadded path."""
+    import jax
+
+    pipe = FeaturePipeline(FeatureConfig())
+    pipe.SIGNAL_BUCKET_SECONDS = (1, 2)  # shrink so "oversized" is cheap
+    rng = np.random.default_rng(3)
+    for seconds in (2.3, 3.7):  # both quantize to the 4 s = 2*2 s quantum
+        n = int(seconds * 16000)
+        sig = rng.normal(0, 900, n).astype(np.float32)
+        block, _ = pipe.process_signal_auto(sig)
+        jax.block_until_ready(block)
+        want, _ = pipe.process_signal(sig, pad_tail=False)
+        np.testing.assert_array_equal(
+            np.asarray(block.vad), np.asarray(want.vad)
+        )
+        # different compiled programs (masked scan vs exact-length) may
+        # reassociate reductions: parity, not bit-equality, for energy
+        np.testing.assert_allclose(
+            np.asarray(block.energy), np.asarray(want.energy), rtol=1e-6
+        )
+        # pitch path quantizes identically and returns len(vad) outputs
+        f0, conf = pipe.pitch_signal_auto(sig, np.asarray(block.vad))
+        assert f0.shape == np.asarray(block.vad).shape
