@@ -16,7 +16,7 @@ fans out with zero cross-device communication (SURVEY.md §7 design stance).
 
 Usage:
     python -m sspv_tpu.batch INPUT... [--out-dir DIR] [--batch 8]
-        [--pitch] [--jsonl SUMMARY.jsonl] [--no-npz]
+        [--pitch] [--jsonl SUMMARY.jsonl] [--resume] [--no-npz]
 
 Prints one JSON summary line per file (same fields as ``sspv_tpu.analyze``)
 plus a final aggregate line.
@@ -91,6 +91,39 @@ def _unique_npz_path(out_dir: str, path: str, used: set) -> str:
     return os.path.join(out_dir, name + ".npz")
 
 
+def _load_manifest(
+    manifest: str, out_dir: str | None, want_pitch: bool
+) -> dict[str, dict]:
+    """Read a summary-JSONL checkpoint; return ``{file_path: summary}`` for
+    entries that can be SKIPPED on resume. An entry is skippable only if it
+    completed (no ``error`` — errored files get another chance), its npz is
+    still on disk when one was promised, and it already carries pitch when
+    this run wants pitch. A torn final line (crash mid-write) is ignored."""
+    done: dict[str, dict] = {}
+    if not os.path.exists(manifest):
+        return done
+    with open(manifest, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                s = json.loads(line)
+            except ValueError:
+                continue  # torn tail line from an interrupted run
+            path = s.get("file")
+            if not isinstance(path, str) or "error" in s:
+                continue
+            if out_dir:
+                npz = s.get("npz")
+                if not npz or not os.path.exists(npz):
+                    continue  # features were promised but are gone
+            if want_pitch and "median_f0_hz" not in s:
+                continue  # this run needs pitch; the entry has none
+            done[path] = s
+    return done
+
+
 def process_corpus(
     files: list[str],
     out_dir: str | None = None,
@@ -99,6 +132,8 @@ def process_corpus(
     decode_workers: int = 4,
     mesh=None,
     files_per_pass: int = 256,
+    manifest: str | None = None,
+    resume: bool = False,
 ) -> list[dict]:
     """Process ``files``; returns one summary dict per file (input order).
 
@@ -110,11 +145,22 @@ def process_corpus(
     sharded device call. Feature npz files are written as each file
     completes. Oversized files (beyond the largest bucket) fall back to
     the scan-based long-signal path individually.
+
+    ``manifest`` names a JSONL checkpoint: every summary is appended and
+    flushed the moment its file completes, so an interrupted multi-hour
+    corpus run loses at most the in-flight batch. With ``resume=True`` the
+    manifest is read first and completed files are skipped (their summaries
+    returned from the checkpoint, marked ``"resumed": True``); errored
+    entries, entries whose npz vanished, and entries missing a
+    now-requested pitch track are reprocessed.
     """
     import jax
 
     from .ops.pipeline import FeatureConfig, FeaturePipeline
     from .parallel import BatchPipeline, make_mesh
+
+    if resume and not manifest:
+        raise ValueError("resume=True requires a manifest path")
 
     mesh = mesh or make_mesh()
     bp = BatchPipeline(mesh, FeatureConfig.from_config(Config))
@@ -159,6 +205,22 @@ def process_corpus(
 
     used_names: set = set()
 
+    done = _load_manifest(manifest, out_dir, want_pitch) if (
+        manifest and resume
+    ) else {}
+    # reserve npz basenames already claimed by resumed entries so fresh
+    # files in this run can never overwrite a checkpointed export
+    for s in done.values():
+        if "npz" in s:
+            used_names.add(os.path.splitext(os.path.basename(s["npz"]))[0])
+
+    sink = open(manifest, "a", encoding="utf-8") if manifest else None
+
+    def record(summary: dict) -> None:
+        if sink:
+            sink.write(json.dumps(summary) + "\n")
+            sink.flush()  # checkpoint granularity = one file
+
     def finish(i: int, path: str, pcm_len: int, sl: dict) -> None:
         """Summarize + write npz immediately so feature arrays free per file."""
         summary = summarize_features(path, pcm_len, sl, c.sample_rate)
@@ -170,6 +232,7 @@ def process_corpus(
             )
             summary["npz"] = npz_path
         summaries[i] = summary
+        record(summary)
 
     def _decode_safe(path: str):
         """One undecodable file must not abort a 10k-file corpus run."""
@@ -179,75 +242,89 @@ def process_corpus(
             return e
 
     summaries: list = [None] * len(files)
-    for wlo in range(0, len(files), files_per_pass):
-        window = list(range(wlo, min(wlo + files_per_pass, len(files))))
-        with ThreadPoolExecutor(max_workers=decode_workers) as pool:
-            signals = dict(zip(window, pool.map(
-                _decode_safe, (files[i] for i in window)
-            )))
+    todo: list[int] = []
+    for i, path in enumerate(files):
+        prev = done.get(path)
+        if prev is not None:
+            summaries[i] = dict(prev, resumed=True)
+        else:
+            todo.append(i)
 
-        # group this window's file indices by padded bucket length;
-        # undecodable files become error summaries instead of aborting
-        groups: dict[int | None, list[int]] = {}
-        for i in window:
-            if isinstance(signals[i], Exception):
-                summaries[i] = {"file": files[i], "error": str(signals[i])}
-                continue
-            groups.setdefault(
-                _bucket_len(len(signals[i]), buckets, c.sample_rate), []
-            ).append(i)
+    try:
+        for wlo in range(0, len(todo), files_per_pass):
+            window = todo[wlo : wlo + files_per_pass]
+            with ThreadPoolExecutor(max_workers=decode_workers) as pool:
+                signals = dict(zip(window, pool.map(
+                    _decode_safe, (files[i] for i in window)
+                )))
 
-        for target, idxs in groups.items():
-            if target is None:  # huge files: individual scan-path calls
-                for i in idxs:
-                    sig = signals[i]  # int16: half the bytes, cast on device
-                    block, _ = pipe.process_signal_auto(sig)
+            # group this window's file indices by padded bucket length;
+            # undecodable files become error summaries instead of aborting
+            groups: dict[int | None, list[int]] = {}
+            for i in window:
+                if isinstance(signals[i], Exception):
+                    summaries[i] = {"file": files[i], "error": str(signals[i])}
+                    record(summaries[i])
+                    continue
+                groups.setdefault(
+                    _bucket_len(len(signals[i]), buckets, c.sample_rate), []
+                ).append(i)
+
+            for target, idxs in groups.items():
+                if target is None:  # huge files: individual scan-path calls
+                    for i in idxs:
+                        sig = signals[i]  # int16: half the bytes, cast on device
+                        block, _ = pipe.process_signal_auto(sig)
+                        jax.block_until_ready(block)
+                        n = int(np.asarray(block.vad).shape[0])
+                        sl = slice_block(block, None, n)
+                        if want_pitch:
+                            add_pitch(sl, sig)
+                        finish(i, files[i], len(sig), sl)
+                    continue
+                for lo in range(0, len(idxs), batch_size):
+                    chunk = idxs[lo : lo + batch_size]
+                    # Pad EVERY batch to the full (mesh-divisible) batch size:
+                    # extra rows carry lengths=0 and are fully masked, so the
+                    # compute cost is nil while a ragged tail (1..batch_size-1
+                    # files) would otherwise compile a fresh (B, bucket) program
+                    # each — minutes per shape on remote-compile hardware.
+                    b_pad = -(-batch_size // dp) * dp
+                    batch = np.zeros((b_pad, target), np.int16)
+                    lengths = np.zeros((b_pad,), np.int32)
+                    for row, i in enumerate(chunk):
+                        sig = signals[i]
+                        batch[row, : len(sig)] = sig
+                        lengths[row] = len(sig)
+                    block, _ = bp.process_batch_masked(batch, lengths)
                     jax.block_until_ready(block)
-                    n = int(np.asarray(block.vad).shape[0])
-                    sl = slice_block(block, None, n)
-                    if want_pitch:
-                        add_pitch(sl, sig)
-                    finish(i, files[i], len(sig), sl)
-                continue
-            for lo in range(0, len(idxs), batch_size):
-                chunk = idxs[lo : lo + batch_size]
-                # Pad EVERY batch to the full (mesh-divisible) batch size:
-                # extra rows carry lengths=0 and are fully masked, so the
-                # compute cost is nil while a ragged tail (1..batch_size-1
-                # files) would otherwise compile a fresh (B, bucket) program
-                # each — minutes per shape on remote-compile hardware.
-                b_pad = -(-batch_size // dp) * dp
-                batch = np.zeros((b_pad, target), np.int16)
-                lengths = np.zeros((b_pad,), np.int32)
-                for row, i in enumerate(chunk):
-                    sig = signals[i]
-                    batch[row, : len(sig)] = sig
-                    lengths[row] = len(sig)
-                block, _ = bp.process_batch_masked(batch, lengths)
-                jax.block_until_ready(block)
-                n_max = int(np.asarray(block.vad).shape[1])
-                row_n = np.where(
-                    lengths >= c.frame_size,
-                    1 + (lengths - c.frame_size) // c.hop_size,
-                    0,
-                ).astype(np.int32)
-                if want_pitch:
-                    # gate on the per-row TRUE frame range: the hangover can
-                    # spill a few decisions past a short file's boundary
-                    valid = np.arange(n_max)[None, :] < row_n[:, None]
-                    vads_masked = (
-                        np.asarray(block.vad).astype(np.int32) * valid
+                    n_max = int(np.asarray(block.vad).shape[1])
+                    row_n = np.where(
+                        lengths >= c.frame_size,
+                        1 + (lengths - c.frame_size) // c.hop_size,
+                        0,
                     ).astype(np.int32)
-                    f0_b, conf_b = pitch_batch(batch, vads_masked)
-                for row, i in enumerate(chunk):
-                    L = int(lengths[row])
-                    n = min(int(row_n[row]), n_max)
-                    sl = slice_block(block, row, n)
                     if want_pitch:
-                        sl["f0"] = f0_b[row][:n]
-                        sl["pitch_confidence"] = conf_b[row][:n]
-                    finish(i, files[i], L, sl)
-        signals.clear()
+                        # gate on the per-row TRUE frame range: the hangover can
+                        # spill a few decisions past a short file's boundary
+                        valid = np.arange(n_max)[None, :] < row_n[:, None]
+                        vads_masked = (
+                            np.asarray(block.vad).astype(np.int32) * valid
+                        ).astype(np.int32)
+                        f0_b, conf_b = pitch_batch(batch, vads_masked)
+                    for row, i in enumerate(chunk):
+                        L = int(lengths[row])
+                        n = min(int(row_n[row]), n_max)
+                        sl = slice_block(block, row, n)
+                        if want_pitch:
+                            sl["f0"] = f0_b[row][:n]
+                            sl["pitch_confidence"] = conf_b[row][:n]
+                        finish(i, files[i], L, sl)
+            signals.clear()
+
+    finally:
+        if sink:
+            sink.close()
 
     assert all(s is not None for s in summaries)
     return summaries
@@ -257,7 +334,12 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("inputs", nargs="+", help="audio files or directories")
     parser.add_argument("--out-dir", help="write per-file feature npz here")
-    parser.add_argument("--jsonl", help="also append summaries to this JSONL")
+    parser.add_argument("--jsonl", help="append summaries to this JSONL as "
+                        "each file completes (crash-safe checkpoint)")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip files already completed in --jsonl "
+                        "(errored entries and entries whose npz vanished "
+                        "are retried)")
     parser.add_argument("--batch", type=int, default=8,
                         help="max files per device batch")
     parser.add_argument("--pitch", action="store_true",
@@ -279,27 +361,27 @@ def main(argv=None) -> int:
     if not files:
         print(json.dumps({"error": "no supported audio files found"}))
         return 1
+    if args.resume and not args.jsonl:
+        parser.error("--resume requires --jsonl")
     t0 = time.time()
     out_dir = None if args.no_npz else (args.out_dir or ".")
     summaries = process_corpus(
-        files, out_dir=out_dir, batch_size=args.batch, want_pitch=args.pitch
+        files, out_dir=out_dir, batch_size=args.batch, want_pitch=args.pitch,
+        manifest=args.jsonl, resume=args.resume,
     )
     wall = time.time() - t0
-    sink = open(args.jsonl, "a", encoding="utf-8") if args.jsonl else None
-    try:
-        for s in summaries:
-            line = json.dumps(s)
-            print(line)
-            if sink:
-                sink.write(line + "\n")
-    finally:
-        if sink:
-            sink.close()
+    for s in summaries:
+        print(json.dumps(s))
     errors = sum(1 for s in summaries if "error" in s)
-    total_audio = sum(s.get("duration_s", 0.0) for s in summaries)
+    resumed = sum(1 for s in summaries if s.get("resumed"))
+    # throughput counts only THIS run's work, not checkpointed audio
+    total_audio = sum(
+        s.get("duration_s", 0.0) for s in summaries if not s.get("resumed")
+    )
     print(json.dumps({
         "files": len(summaries),
         "errors": errors,
+        "resumed": resumed,
         "audio_s": round(total_audio, 1),
         "wall_s": round(wall, 2),
         "audio_s_per_s": round(total_audio / wall, 1) if wall else None,

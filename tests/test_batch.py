@@ -205,3 +205,107 @@ def test_ragged_tails_share_one_program(tmp_path, monkeypatch):
     (bp,) = created
     masked_keys = [k for k in bp._batch_jit if k[0] == "batch_masked"]
     assert len(masked_keys) == 1, masked_keys
+
+
+def _count_decodes(monkeypatch):
+    """Patch the decode ladder to count how many files this run decodes."""
+    import sspv_tpu.batch as batch_mod
+
+    calls = []
+    orig = batch_mod._decode
+    monkeypatch.setattr(
+        batch_mod, "_decode", lambda p: (calls.append(p), orig(p))[1]
+    )
+    return calls
+
+
+def test_resume_skips_completed_files(tmp_path, monkeypatch):
+    """A resumed run must not re-decode or re-process checkpointed files:
+    their summaries come back from the manifest (marked resumed) and their
+    npz exports are untouched."""
+    from sspv_tpu.batch import process_corpus
+
+    files = _corpus(tmp_path)
+    manifest = str(tmp_path / "manifest.jsonl")
+    out_dir = str(tmp_path / "out")
+    first = process_corpus(files, out_dir=out_dir, manifest=manifest)
+    assert all("error" not in s for s in first)
+    mtimes = {s["npz"]: os.path.getmtime(s["npz"]) for s in first}
+
+    calls = _count_decodes(monkeypatch)
+    second = process_corpus(
+        files, out_dir=out_dir, manifest=manifest, resume=True
+    )
+    assert calls == []  # nothing re-decoded
+    for a, b in zip(first, second):
+        assert b.pop("resumed") is True
+        assert a == b
+    for p, m in mtimes.items():
+        assert os.path.getmtime(p) == m  # exports untouched
+
+
+def test_resume_retries_errors_and_lost_npz(tmp_path, monkeypatch):
+    """Resume reprocesses exactly the files that still need work: a
+    previously errored file (now fixed) and a file whose npz vanished."""
+    from sspv_tpu.batch import process_corpus
+
+    good = _write_wav(tmp_path / "good.wav", 0.5, 150.0)
+    other = _write_wav(tmp_path / "other.wav", 0.6, 200.0)
+    bad = str(tmp_path / "bad.wav")
+    open(bad, "wb").write(b"RIFFgarbage")
+    files = sorted([good, other, bad])
+    manifest = str(tmp_path / "m.jsonl")
+    out_dir = str(tmp_path / "out")
+    first = process_corpus(files, out_dir=out_dir, manifest=manifest)
+    assert sum("error" in s for s in first) == 1
+
+    _write_wav(bad, 0.4, 120.0)  # the operator fixed the corrupt file
+    lost = next(s["npz"] for s in first if s["file"] == good)
+    os.remove(lost)
+
+    calls = _count_decodes(monkeypatch)
+    second = process_corpus(
+        files, out_dir=out_dir, manifest=manifest, resume=True
+    )
+    assert sorted(calls) == sorted([bad, good])
+    by = {s["file"]: s for s in second}
+    assert "error" not in by[bad] and not by[bad].get("resumed")
+    assert os.path.exists(by[good]["npz"])  # re-exported
+    assert by[other].get("resumed") is True
+
+
+def test_resume_tolerates_torn_manifest_line(tmp_path):
+    """A crash mid-append leaves a torn final JSON line; resume must skip
+    it and reprocess that file rather than fail."""
+    from sspv_tpu.batch import process_corpus
+
+    files = _corpus(tmp_path)[:2]
+    manifest = str(tmp_path / "m.jsonl")
+    process_corpus(files, out_dir=None, manifest=manifest)
+    lines = open(manifest).read().splitlines()
+    open(manifest, "w").write(lines[0] + "\n" + lines[1][: len(lines[1]) // 2])
+    out = process_corpus(files, out_dir=None, manifest=manifest, resume=True)
+    assert out[0].get("resumed") is True
+    assert "resumed" not in out[1] and out[1]["frames"] > 0
+
+
+def test_resume_reprocesses_for_pitch_upgrade(tmp_path):
+    """A checkpoint written without pitch cannot satisfy a want_pitch run."""
+    from sspv_tpu.batch import process_corpus
+
+    files = _corpus(tmp_path)[:2]
+    manifest = str(tmp_path / "m.jsonl")
+    process_corpus(files, out_dir=None, manifest=manifest)
+    out = process_corpus(
+        files, out_dir=None, manifest=manifest, resume=True, want_pitch=True
+    )
+    assert all("median_f0_hz" in s and not s.get("resumed") for s in out)
+
+
+def test_resume_requires_manifest():
+    from sspv_tpu.batch import process_corpus
+
+    import pytest
+
+    with pytest.raises(ValueError, match="manifest"):
+        process_corpus(["x.wav"], resume=True)
