@@ -283,6 +283,125 @@ def _device_health(timeout_s: float = 2.0, cache_s: float = 15.0):
         return False, err
     return result["ok"], result["error"]
 
+class _Metrics:
+    """In-process request metrics behind ``GET /metrics`` (stdlib-only; no
+    Prometheus client in the image, so the text exposition is hand-rolled).
+    Counters + latency quantiles per route under one lock; quantiles come
+    from a fixed ring of the most recent observations, so memory is bounded
+    no matter how long the server runs. Routes are normalized to the known
+    set before recording — unmatched paths fold into ``"other"`` so a
+    client scanning random URLs cannot grow label cardinality unboundedly."""
+
+    RING = 512
+    ROUTES = frozenset({
+        "/healthz", "/config", "/metrics",
+        "/v1/stream", "/v1/features", "/v1/vad", "/v1/pitch",
+    })
+
+    def __init__(self) -> None:
+        self._lock = _threading.Lock()
+        self._started = _time.time()
+        self._routes: dict[str, dict] = {}
+        self._bytes_in = 0
+        self._frames_out = 0
+        self._inflight = 0
+
+    def normalize(self, path: str) -> str:
+        return path if path in self.ROUTES else "other"
+
+    def enter(self) -> None:
+        with self._lock:
+            self._inflight += 1
+
+    def observe(
+        self, route: str, status: int, dt_s: float,
+        bytes_in: int = 0, frames: int = 0,
+    ) -> None:
+        """Record one finished request (also decrements the in-flight
+        gauge ``enter()`` raised)."""
+        with self._lock:
+            self._inflight -= 1
+            r = self._routes.setdefault(route, {
+                "requests": 0, "errors": 0, "latency_sum_s": 0.0,
+                "latency_max_s": 0.0, "ring": [], "pos": 0,
+            })
+            r["requests"] += 1
+            if status >= 400:
+                r["errors"] += 1
+            r["latency_sum_s"] += dt_s
+            r["latency_max_s"] = max(r["latency_max_s"], dt_s)
+            if len(r["ring"]) < self.RING:
+                r["ring"].append(dt_s)
+            else:
+                r["ring"][r["pos"]] = dt_s
+                r["pos"] = (r["pos"] + 1) % self.RING
+            self._bytes_in += bytes_in
+            self._frames_out += frames
+
+    @property
+    def inflight(self) -> int:
+        with self._lock:
+            return self._inflight
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            routes = {}
+            for name, r in self._routes.items():
+                lat = sorted(r["ring"])
+
+                def q(p, lat=lat):
+                    return round(lat[min(len(lat) - 1, int(p * len(lat)))], 6)
+
+                routes[name] = {
+                    "requests": r["requests"],
+                    "errors": r["errors"],
+                    "latency_avg_s": round(
+                        r["latency_sum_s"] / r["requests"], 6
+                    ),
+                    "latency_p50_s": q(0.50),
+                    "latency_p95_s": q(0.95),
+                    "latency_max_s": round(r["latency_max_s"], 6),
+                }
+            return {
+                "uptime_s": round(_time.time() - self._started, 1),
+                "inflight": self._inflight,
+                "bytes_in_total": self._bytes_in,
+                "frames_out_total": self._frames_out,
+                "routes": routes,
+            }
+
+    def prometheus(self) -> str:
+        """Prometheus text exposition (format 0.0.4) of ``snapshot()``."""
+        s = self.snapshot()
+        lines = [
+            "# TYPE sspv_uptime_seconds gauge",
+            f"sspv_uptime_seconds {s['uptime_s']}",
+            "# TYPE sspv_inflight_requests gauge",
+            f"sspv_inflight_requests {s['inflight']}",
+            "# TYPE sspv_bytes_in_total counter",
+            f"sspv_bytes_in_total {s['bytes_in_total']}",
+            "# TYPE sspv_frames_out_total counter",
+            f"sspv_frames_out_total {s['frames_out_total']}",
+            "# TYPE sspv_requests_total counter",
+        ]
+        for name, r in s["routes"].items():
+            lines.append(f'sspv_requests_total{{route="{name}"}} {r["requests"]}')
+        lines.append("# TYPE sspv_request_errors_total counter")
+        for name, r in s["routes"].items():
+            lines.append(f'sspv_request_errors_total{{route="{name}"}} {r["errors"]}')
+        lines.append("# TYPE sspv_request_latency_seconds summary")
+        for name, r in s["routes"].items():
+            for label, key in (("0.5", "latency_p50_s"), ("0.95", "latency_p95_s")):
+                lines.append(
+                    f'sspv_request_latency_seconds{{route="{name}",'
+                    f'quantile="{label}"}} {r[key]}'
+                )
+        return "\n".join(lines) + "\n"
+
+
+_METRICS = _Metrics()
+
+
 # Allowed pitch-band edges (Hz). fmin/fmax snap to the nearest grid point:
 # they are jit-static lag-band bounds, so the grid bounds the number of
 # compiled pitch programs a client can force (<= |grid|^2 / 2, in practice
@@ -333,6 +452,35 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # route through stdlib logging
         logger.info("%s %s", self.address_string(), fmt % args)
 
+    def send_response(self, code, message=None):  # capture for /metrics
+        self._status = code
+        super().send_response(code, message)
+
+    def _timed(self, handler) -> None:
+        """Run one request handler with metrics: in-flight gauge, status,
+        wall latency, body bytes, and frames emitted."""
+        route = _METRICS.normalize(urllib.parse.urlparse(self.path).path)
+        self._status = 0
+        self._bytes_in = 0
+        self._frames_out = 0
+        t0 = _time.monotonic()
+        _METRICS.enter()
+        try:
+            handler()
+        finally:
+            # status 0 = the handler died before any response line (socket
+            # error/timeout); count it as a 500-class failure
+            _METRICS.observe(
+                route, self._status or 500, _time.monotonic() - t0,
+                self._bytes_in, self._frames_out,
+            )
+
+    def do_GET(self):  # noqa: N802 (stdlib naming)
+        self._timed(self._handle_get)
+
+    def do_POST(self):  # noqa: N802
+        self._timed(self._handle_post)
+
     def _reply(self, code: int, payload: bytes, content_type: str) -> None:
         self.send_response(code)
         self.send_header("Content-Type", content_type)
@@ -371,6 +519,7 @@ class _Handler(BaseHTTPRequestHandler):
             if not part:
                 raise ValueError("truncated body")
             remaining -= len(part)
+            self._bytes_in += len(part)
             yield part
 
     def _iter_request_chunks(self, max_total: int):
@@ -512,6 +661,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._write_response_chunk(
                     json.dumps(row).encode("utf-8") + b"\n"
                 )
+                self._frames_out += row["frames"]
                 emitted += 1
             self._write_response_chunk(
                 json.dumps({"done": True, "blocks": emitted}).encode() + b"\n"
@@ -532,9 +682,19 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- GET ---------------------------------------------------------------
 
-    def do_GET(self):  # noqa: N802 (stdlib naming)
-        path = urllib.parse.urlparse(self.path).path
-        if path == "/healthz":
+    def _handle_get(self):
+        parsed = urllib.parse.urlparse(self.path)
+        path = parsed.path
+        if path == "/metrics":
+            fmt = urllib.parse.parse_qs(parsed.query).get("fmt", ["json"])[0]
+            if fmt == "prom":
+                self._reply(
+                    200, _METRICS.prometheus().encode("utf-8"),
+                    "text/plain; version=0.0.4",
+                )
+            else:
+                self._reply_json(200, _METRICS.snapshot())
+        elif path == "/healthz":
             import jax
 
             try:
@@ -564,7 +724,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- POST ---------------------------------------------------------------
 
-    def do_POST(self):  # noqa: N802
+    def _handle_post(self):
         parsed = urllib.parse.urlparse(self.path)
         query = urllib.parse.parse_qs(parsed.query)
 
@@ -629,6 +789,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._reply_error(413, "request body too large")
                 return
             body = self.rfile.read(length)
+            self._bytes_in += len(body)
             rate_hint = self.headers.get("X-Sample-Rate") or (
                 query["rate"][0] if "rate" in query else None
             )
@@ -672,6 +833,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply_error(500, f"analysis failed: {e}")
             return
         selected = _select(result, keys)
+        self._frames_out += int(result.get("num_frames", 0))
         fmt = query.get("fmt", ["json"])[0]
         if fmt == "npz":
             buf = io.BytesIO()
@@ -712,11 +874,33 @@ def main() -> None:
         logger.info("warming up (first compile can take minutes on remote hardware)")
         server.RequestHandlerClass.service.warmup(all_buckets=(warm == "all"))
     logger.info("serving on http://%s:%d", *server.server_address[:2])
+
+    # Graceful drain: SIGTERM/SIGINT stop the accept loop, then wait (up to
+    # RTP_SERVE_DRAIN_S, default 30 s) for in-flight requests to finish
+    # before closing the socket — a rolling deploy must not cut off a
+    # half-written NDJSON stream. shutdown() must run off the signal-handler
+    # thread (it joins the serve_forever loop, which the handler interrupts).
+    import signal
+
+    drain_s = float(os.environ.get("RTP_SERVE_DRAIN_S", "30"))
+
+    def _on_signal(signum, _frame):
+        logger.info("signal %d: stopping accept loop, draining", signum)
+        _threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        deadline = _time.monotonic() + drain_s
+        while _METRICS.inflight > 0 and _time.monotonic() < deadline:
+            _time.sleep(0.1)
+        left = _METRICS.inflight
+        if left:
+            logger.warning("drain timeout: %d request(s) still in flight", left)
         server.server_close()
 
 

@@ -608,3 +608,103 @@ def test_healthz_probes_the_device(server):
     assert status == 200
     assert health["status"] == "ok"
     assert _PROBE_STATE["ok"] is True  # a real probe ran and was cached
+
+
+def test_metrics_endpoint_counts_requests(server):
+    """GET /metrics reflects requests made on this server: per-route
+    counters, error counts, latency quantiles, and body/frame totals."""
+    from sspv_tpu.serve import _METRICS
+
+    before = _METRICS.snapshot()
+    samples, sr = _tone_i16(1.0)
+    wav = _wav_bytes(samples, sr)
+    status, _ct, body = _post(server, "/v1/features", wav)
+    assert status == 200
+    n_frames = json.loads(body)["num_frames"]
+    with pytest.raises(urllib.error.HTTPError):
+        _post(server, "/v1/features", b"not audio at all")
+
+    host, port = server.server_address[:2]
+    m = json.load(urllib.request.urlopen(
+        f"http://{host}:{port}/metrics", timeout=60
+    ))
+    r = m["routes"]["/v1/features"]
+    b = before["routes"].get(
+        "/v1/features",
+        {"requests": 0, "errors": 0},
+    )
+    assert r["requests"] == b["requests"] + 2
+    assert r["errors"] == b["errors"] + 1
+    assert r["latency_p50_s"] > 0 and r["latency_max_s"] >= r["latency_p50_s"]
+    assert m["bytes_in_total"] >= before["bytes_in_total"] + len(wav)
+    assert m["frames_out_total"] >= before["frames_out_total"] + n_frames
+    assert m["inflight"] >= 1  # this very /metrics request
+
+
+def test_metrics_prometheus_exposition(server):
+    host, port = server.server_address[:2]
+    urllib.request.urlopen(f"http://{host}:{port}/healthz", timeout=60)
+    resp = urllib.request.urlopen(
+        f"http://{host}:{port}/metrics?fmt=prom", timeout=60
+    )
+    assert resp.headers["Content-Type"].startswith("text/plain")
+    text = resp.read().decode()
+    assert 'sspv_requests_total{route="/healthz"}' in text
+    assert "# TYPE sspv_request_latency_seconds summary" in text
+    assert "sspv_uptime_seconds" in text
+
+
+def test_metrics_unknown_routes_fold_into_other(server):
+    """Scanning random URLs must not grow metric label cardinality."""
+    from sspv_tpu.serve import _METRICS
+
+    host, port = server.server_address[:2]
+    for k in range(3):
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                f"http://{host}:{port}/scan/{k}", timeout=60
+            )
+    snap = _METRICS.snapshot()
+    assert "other" in snap["routes"]
+    assert snap["routes"]["other"]["errors"] >= 3
+    assert not any(r.startswith("/scan") for r in snap["routes"])
+    assert snap["inflight"] == 0  # every finished request decremented
+
+
+def test_sigterm_drains_and_exits_cleanly(tmp_path):
+    """python -m sspv_tpu.serve must exit 0 on SIGTERM after draining
+    (rolling-deploy contract)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ, PYTHONPATH=root, JAX_PLATFORMS="cpu",
+        RTP_SERVE_HOST="127.0.0.1", RTP_SERVE_PORT="0",
+        RTP_SERVE_WARMUP="0", RTP_SERVE_DRAIN_S="10",
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sspv_tpu.serve"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        deadline = time.time() + 120
+        port = None
+        for line in proc.stdout:
+            if "serving on http://" in line:
+                port = int(line.rsplit(":", 1)[1])
+                break
+            assert time.time() < deadline, "server never came up"
+        assert port
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/config", timeout=60
+        ).read()
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=60)
+        assert rc == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
