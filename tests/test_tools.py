@@ -87,3 +87,43 @@ def test_soak_report_no_frames(tmp_path):
     )
     assert out.returncode == 1
     assert "no frames" in json.loads(out.stdout)["error"]
+
+
+def test_bench_health_gate(monkeypatch):
+    """The bench's pre-flight device gate: skip knob, healthy fast path, and
+    exhaustion refusing to emit a measurement (exit 2, no JSON line)."""
+    import bench
+
+    # RTP_BENCH_HEALTH_WAIT_S=0 disables the gate without probing
+    monkeypatch.setenv("RTP_BENCH_HEALTH_WAIT_S", "0")
+    monkeypatch.setattr(
+        bench, "_probe_device_once",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("probed")),
+    )
+    bench._wait_for_device_health()
+
+    # healthy first probe: exactly one probe, no sleeping
+    monkeypatch.setenv("RTP_BENCH_HEALTH_WAIT_S", "5400")
+    calls = []
+    monkeypatch.setattr(bench, "_probe_device_once",
+                        lambda *a, **k: calls.append(1) or True)
+    monkeypatch.setattr(
+        bench.time, "sleep",
+        lambda s: (_ for _ in ()).throw(AssertionError("slept")),
+    )
+    bench._wait_for_device_health()
+    assert len(calls) == 1
+
+    # budget exhausted: SystemExit(2), never a fake number on stdout
+    monkeypatch.setenv("RTP_BENCH_HEALTH_WAIT_S", "300")
+    monkeypatch.setattr(bench, "_probe_device_once", lambda *a, **k: False)
+    clock = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "monotonic", lambda: clock["t"])
+    monkeypatch.setattr(
+        bench.time, "sleep", lambda s: clock.__setitem__("t", clock["t"] + s)
+    )
+    import pytest
+
+    with pytest.raises(SystemExit) as e:
+        bench._wait_for_device_health()
+    assert e.value.code == 2
