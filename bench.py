@@ -178,11 +178,12 @@ def main() -> None:
     # on the tunneled link
     pitch_fn = pitch_track_signal_jit()
 
-    # Pitch runs on the first hour: its banded-ACF intermediates are
-    # materialized (not scanned), so a 4 h single call would hold ~5 GB of
-    # (F, 320) activations for no extra information — the metric is
-    # audio-s/s either way.
-    pitch_seconds = 3600.0
+    # Pitch dispatches the SAME 4 h signal as the headline pipeline: the
+    # hop-phase path scans over SCAN_BLOCK_FRAMES row blocks (ops/pitch.py),
+    # so its DFT/power/ACF intermediates hold ~150 MB regardless of length
+    # (unscanned, 4 h materialized ~5-6 GB and the bench had to cap pitch at
+    # 1 h/call) and the ~5-6 ms fixed per-call cost amortizes 4x further.
+    pitch_seconds = seconds
     pn = int(pitch_seconds * sr)
     pitch_frames = 1 + (pn - 320) // 160
     sig_p = sig[:pn]

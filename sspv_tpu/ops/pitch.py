@@ -132,11 +132,23 @@ def pitch_track(
     return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
 
 
+# Frames per lax.scan step on the long-signal pitch path (mirrors
+# FeaturePipeline.SCAN_BLOCK_FRAMES). Pitch carries NO cross-frame state,
+# so the scan exists purely for memory: unscanned, the DFT/power/banded-ACF
+# intermediates materialize (F, 512)+(F, 256)+(F, lag_max+1) f32 in HBM —
+# ~5-6 GB for 4 h of audio, near single-chip HBM limits — while a 32k-frame
+# block holds ~150 MB regardless of signal length. Per-frame numerics are
+# unchanged (the matmul contraction axis is untouched; blocking only splits
+# the row axis).
+SCAN_BLOCK_FRAMES = 32768
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "frame_size", "hop_size", "sample_rate", "fmin", "fmax",
         "min_confidence", "acf_impl", "precision", "use_kernel",
+        "scan_block",
     ),
 )
 def pitch_track_signal(
@@ -151,6 +163,7 @@ def pitch_track_signal(
     acf_impl: str = "dft",
     precision: str = "high",
     use_kernel: bool = False,
+    scan_block: int = -1,
 ):
     """VAD-gated pitch track over a whole 1-D signal, entirely on device:
     streaming-style framing (full frames only, engine.py:240-242 semantics)
@@ -166,6 +179,12 @@ def pitch_track_signal(
     (f32-accurate): F0 decisions bit-identical over a full 3600 s track,
     confidence perturbed <=8e-6 (docs/benchmarks.md pitch A/B), ~1.6x
     faster. The frames-path ``pitch_from_frames`` keeps HIGHEST sums.
+
+    ``scan_block``: frames per ``lax.scan`` step on the hop-phase path.
+    ``-1`` (default) uses ``SCAN_BLOCK_FRAMES``; ``0`` disables blocking
+    (one unscanned program — the pre-scan behavior). Signals at or under
+    one block compile the direct form either way, so short/streaming
+    callers never pay scan overhead.
     """
     x = jnp.asarray(signal, dtype=jnp.float32)
     length = int(x.shape[0])
@@ -189,46 +208,67 @@ def pitch_track_signal(
         # ("HIGHEST", whitespace, unknown names) gate the bf16 kernel off
         # exactly like the canonical string
         hp = _resolve_precision(precision)
-        if use_kernel and hp != jax.lax.Precision.HIGHEST:
-            # Fused Pallas variant: intermediates (DFT output, power, ACF)
-            # stay in VMEM; manual 3-pass bf16 matmuls (ops/pallas_view.py).
-            # Opt-in pending the on-chip A/B (tools/viewkernel_ab.py --pitch).
-            # Gated off at "highest": the kernel's dots are 3-pass bf16
-            # (== "high") and a strict-f32 pin must not silently downgrade.
-            from .pallas_view import fused_view_pitch
+        use_fused = use_kernel and hp != jax.lax.Precision.HIGHEST
 
-            rows = x[: (n + 1) * hop].reshape(n + 1, hop)
-            f0, conf = fused_view_pitch(
-                rows,
-                merged=merged,
-                nyq_b=nyq_b,
-                inv_live=inv_live,
-                inv_nyq=inv_nyq,
-                lag_min=lag_min,
-                lag_max=lag_max,
-                sample_rate=sample_rate,
-            )
-            gate = (jnp.asarray(vad) > 0) & (
-                conf >= jnp.float32(min_confidence)
-            )
-            return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
-        half = merged.shape[1] // 2
+        def from_rows(rows_blk):
+            """(f+1, hop) signal-view rows -> ungated (f0, conf), (f,)."""
+            if use_fused:
+                # Fused Pallas variant: intermediates (DFT output, power,
+                # ACF) stay in VMEM; manual 3-pass bf16 matmuls
+                # (ops/pallas_view.py). Opt-in pending the on-chip A/B
+                # (tools/viewkernel_ab.py --pitch). Gated off at "highest":
+                # the kernel's dots are 3-pass bf16 (== "high") and a
+                # strict-f32 pin must not silently downgrade.
+                from .pallas_view import fused_view_pitch
+
+                return fused_view_pitch(
+                    rows_blk,
+                    merged=merged,
+                    nyq_b=nyq_b,
+                    inv_live=inv_live,
+                    inv_nyq=inv_nyq,
+                    lag_min=lag_min,
+                    lag_max=lag_max,
+                    sample_rate=sample_rate,
+                )
+            half = merged.shape[1] // 2
+            top, bot = rows_blk[:-1], rows_blk[1:]
+            m = jnp.matmul(top, jnp.asarray(merged[:hop]), precision=hp,
+                           preferred_element_type=jnp.float32) + jnp.matmul(
+                bot, jnp.asarray(merged[hop:]), precision=hp,
+                preferred_element_type=jnp.float32)
+            nyq = jnp.matmul(top, jnp.asarray(nyq_b[:hop]), precision=hp,
+                             preferred_element_type=jnp.float32) + jnp.matmul(
+                bot, jnp.asarray(nyq_b[hop:]), precision=hp,
+                preferred_element_type=jnp.float32)
+            power = m[:, :half] * m[:, :half] + m[:, half:] * m[:, half:]
+            acf = jnp.matmul(power, jnp.asarray(inv_live), precision=hp,
+                             preferred_element_type=jnp.float32) + (
+                nyq * nyq
+            )[:, None] * jnp.asarray(inv_nyq)[None, :]
+            return _band_peak_pick(acf, lag_min, lag_max, sample_rate)
+
         rows = x[: (n + 1) * hop].reshape(n + 1, hop)
-        top, bot = rows[:-1], rows[1:]
-        m = jnp.matmul(top, jnp.asarray(merged[:hop]), precision=hp,
-                       preferred_element_type=jnp.float32) + jnp.matmul(
-            bot, jnp.asarray(merged[hop:]), precision=hp,
-            preferred_element_type=jnp.float32)
-        nyq = jnp.matmul(top, jnp.asarray(nyq_b[:hop]), precision=hp,
-                         preferred_element_type=jnp.float32) + jnp.matmul(
-            bot, jnp.asarray(nyq_b[hop:]), precision=hp,
-            preferred_element_type=jnp.float32)
-        power = m[:, :half] * m[:, :half] + m[:, half:] * m[:, half:]
-        acf = jnp.matmul(power, jnp.asarray(inv_live), precision=hp,
-                         preferred_element_type=jnp.float32) + (
-            nyq * nyq
-        )[:, None] * jnp.asarray(inv_nyq)[None, :]
-        f0, conf = _band_peak_pick(acf, lag_min, lag_max, sample_rate)
+        b = SCAN_BLOCK_FRAMES if scan_block < 0 else int(scan_block)
+        if b and n > b:
+            # Block the row axis with one-row overlap (frame i spans rows
+            # i and i+1), exactly like _process_signal_view_impl; frames
+            # past n land in the padded tail and are sliced off below.
+            nb = -(-n // b)
+            pad_rows = nb * b + 1 - (n + 1)
+            if pad_rows:
+                rows = jnp.pad(rows, ((0, pad_rows), (0, 0)))
+            starts = jnp.arange(nb, dtype=jnp.int32) * b
+
+            def step(carry, start):
+                rb = jax.lax.dynamic_slice(rows, (start, 0), (b + 1, hop))
+                return carry, from_rows(rb)
+
+            _, (f0b, confb) = jax.lax.scan(step, 0, starts)
+            f0 = f0b.reshape(nb * b)[:n]
+            conf = confb.reshape(nb * b)[:n]
+        else:
+            f0, conf = from_rows(rows)
         gate = (jnp.asarray(vad) > 0) & (conf >= jnp.float32(min_confidence))
         return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
     frames = stream_frames(x, frame_size, hop_size)

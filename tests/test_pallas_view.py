@@ -202,3 +202,26 @@ def test_view_kernel_geometry_gating():
     # supported geometry: on only when the backend is TPU
     p = FeaturePipeline(FeatureConfig(view_kernel=True))
     assert p._use_view_kernel is on_tpu
+
+
+def test_pitch_kernel_scan_blocked_matches_unscanned():
+    """The fused Pallas pitch kernel inside the lax.scan-blocked path must
+    equal the kernel's unscanned output bitwise (the kernel already pads its
+    own frame axis internally; scan blocking adds an outer split only)."""
+    from sspv_tpu.ops.pitch import pitch_track_signal
+
+    sr = 16000
+    t = np.arange(3 * sr) / sr
+    rng = np.random.default_rng(11)
+    sig = np.where(
+        ((t * 2).astype(int) % 4) == 1,
+        5000 * np.sin(2 * np.pi * 130 * t),
+        rng.normal(0, 40, t.size),
+    ).astype(np.float32)
+    n = 1 + (sig.size - 320) // 160
+    vad = np.ones(n, np.int32)
+
+    f0_u, conf_u = pitch_track_signal(sig, vad, use_kernel=True, scan_block=0)
+    f0_s, conf_s = pitch_track_signal(sig, vad, use_kernel=True, scan_block=96)
+    np.testing.assert_array_equal(np.asarray(f0_s), np.asarray(f0_u))
+    np.testing.assert_array_equal(np.asarray(conf_s), np.asarray(conf_u))

@@ -137,3 +137,34 @@ def test_basis_caches_are_mutation_proof():
     m[0, 0] += 99.0
     m2, _ = bases.merged_windowed_dft_bases(320, 512, "hamming")
     assert m2[0, 0] != m[0, 0]
+
+
+def test_scan_blocked_track_is_bit_identical():
+    """The lax.scan-blocked long-signal pitch path must equal the unscanned
+    program bitwise: blocking splits only the frame (row) axis, never the
+    matmul contraction axis, so per-frame numerics are untouched — including
+    with a block size that does not divide the frame count (padded tail
+    frames are sliced off) and through the default-block dispatch."""
+    import numpy as np
+
+    from sspv_tpu.ops.pitch import pitch_track_signal
+
+    rng = np.random.default_rng(7)
+    sr = 16000
+    t = np.arange(6 * sr) / sr
+    sig = (
+        3000 * np.sin(2 * np.pi * 137 * t) + rng.normal(0, 400, t.size)
+    ).astype(np.float32)
+    n = 1 + (sig.size - 320) // 160
+    vad = (rng.random(n) > 0.3).astype(np.int32)
+
+    f0_u, c_u = pitch_track_signal(sig, vad, scan_block=0)  # unscanned
+    for block in (64, 97):  # dividing-ish and odd non-dividing
+        f0_s, c_s = pitch_track_signal(sig, vad, scan_block=block)
+        np.testing.assert_array_equal(np.asarray(f0_s), np.asarray(f0_u))
+        np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_u))
+    # n (599) < SCAN_BLOCK_FRAMES: the default dispatch compiles the direct
+    # form, so short/streaming callers keep their existing programs
+    f0_d, c_d = pitch_track_signal(sig, vad)
+    np.testing.assert_array_equal(np.asarray(f0_d), np.asarray(f0_u))
+    np.testing.assert_array_equal(np.asarray(c_d), np.asarray(c_u))
