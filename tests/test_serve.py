@@ -6,6 +6,7 @@ ladder, error paths, and concurrent clients sharing one pipeline."""
 import io
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 import wave
@@ -625,14 +626,22 @@ def test_metrics_endpoint_counts_requests(server):
         _post(server, "/v1/features", b"not audio at all")
 
     host, port = server.server_address[:2]
-    m = json.load(urllib.request.urlopen(
-        f"http://{host}:{port}/metrics", timeout=60
-    ))
-    r = m["routes"]["/v1/features"]
     b = before["routes"].get(
         "/v1/features",
         {"requests": 0, "errors": 0},
     )
+    # a request is observed in the handler's finally AFTER the client has
+    # the full response, so accounting trails the client by a few µs —
+    # poll briefly instead of racing it
+    deadline = time.monotonic() + 5.0
+    while True:
+        m = json.load(urllib.request.urlopen(
+            f"http://{host}:{port}/metrics", timeout=60
+        ))
+        r = m["routes"].get("/v1/features", {"requests": 0})
+        if r["requests"] >= b["requests"] + 2 or time.monotonic() > deadline:
+            break
+        time.sleep(0.05)
     assert r["requests"] == b["requests"] + 2
     assert r["errors"] == b["errors"] + 1
     assert r["latency_p50_s"] > 0 and r["latency_max_s"] >= r["latency_p50_s"]
@@ -664,7 +673,18 @@ def test_metrics_unknown_routes_fold_into_other(server):
             urllib.request.urlopen(
                 f"http://{host}:{port}/scan/{k}", timeout=60
             )
-    snap = _METRICS.snapshot()
+    # accounting trails the client's view of the response (observed in the
+    # handler's finally) — poll briefly instead of racing it
+    deadline = time.monotonic() + 5.0
+    while True:
+        snap = _METRICS.snapshot()
+        settled = (
+            snap["routes"].get("other", {"errors": 0})["errors"] >= 3
+            and snap["inflight"] == 0
+        )
+        if settled or time.monotonic() > deadline:
+            break
+        time.sleep(0.05)
     assert "other" in snap["routes"]
     assert snap["routes"]["other"]["errors"] >= 3
     assert not any(r.startswith("/scan") for r in snap["routes"])
