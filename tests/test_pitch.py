@@ -168,3 +168,42 @@ def test_scan_blocked_track_is_bit_identical():
     f0_d, c_d = pitch_track_signal(sig, vad)
     np.testing.assert_array_equal(np.asarray(f0_d), np.asarray(f0_u))
     np.testing.assert_array_equal(np.asarray(c_d), np.asarray(c_u))
+
+
+def test_scan_blocked_track_under_vmap(monkeypatch):
+    """The batch CLI vmaps pitch_track_signal over a (B, L) corpus batch;
+    for big buckets the scanned path now runs UNDER vmap (dynamic_slice and
+    lax.scan both batch), and each row must equal its standalone unscanned
+    track."""
+    import numpy as np
+    import jax
+
+    from sspv_tpu.ops import pitch as pitch_mod
+
+    rng = np.random.default_rng(23)
+    sr = 16000
+    L = int(2.53 * sr)  # odd length: n=251 frames, not a block multiple
+    t = np.arange(L) / sr
+    batch = np.stack([
+        (4000 * np.sin(2 * np.pi * f * t) + rng.normal(0, 300, L))
+        for f in (110.0, 180.0, 260.0)
+    ]).astype(np.float32)
+    n = 1 + (L - 320) // 160
+    vads = (rng.random((3, n)) > 0.25).astype(np.int32)
+
+    monkeypatch.setattr(pitch_mod, "SCAN_BLOCK_FRAMES", 64)
+    vmapped = jax.jit(jax.vmap(
+        lambda s, v: pitch_mod.pitch_track_signal(s, v, 320, 160, sr)
+    ))
+    f0_b, conf_b = vmapped(batch, vads)
+
+    for row in range(3):
+        f0_r, conf_r = pitch_mod.pitch_track_signal(
+            batch[row], vads[row], scan_block=0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(f0_b[row]), np.asarray(f0_r)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(conf_b[row]), np.asarray(conf_r)
+        )
