@@ -32,8 +32,12 @@ def analyze_file(path: str, png: str | None = None, npz: str | None = None) -> d
     src.close()
 
     pipe = FeaturePipeline(FeatureConfig.from_config(Config))
-    # bucketed-length path: files of any length share a few compiled programs
-    block, _ = pipe.process_signal_auto(pcm)
+    # bucketed-length path (files of any length share a few compiled
+    # programs), fused with the signal-view pitch track: features + VAD +
+    # VAD-gated F0 in ONE device dispatch — the ACF spectrum comes from
+    # hop-phase matmuls on the already-shipped int16 signal, and the signal
+    # transfers once instead of twice.
+    block, _, f0, conf = pipe.process_signal_pitch_auto(pcm)
     jax.block_until_ready(block)
 
     energy = np.asarray(block.energy)
@@ -41,11 +45,6 @@ def analyze_file(path: str, png: str | None = None, npz: str | None = None) -> d
     entropy = np.asarray(block.entropy)
     vad = np.asarray(block.vad)
     mfcc = np.asarray(block.mfcc)
-    # Signal-view pitch (same path as the batch CLI and the serving layer):
-    # the ACF spectrum comes from hop-phase matmuls on the already-shipped
-    # int16 signal — no host re-framing, no (F, 320) f32 frame matrix
-    # (2x-duplicated samples, 4x the transfer bytes) ever materializes.
-    f0, conf = pipe.pitch_signal_auto(pcm, vad)
 
     # shared summary fields + npz schema with the batch CLI (utils/export.py)
     sl = {

@@ -180,11 +180,6 @@ def process_corpus(
             "vad_adaptive": np.asarray(pick(block.vad_adaptive)).astype(np.int32),
         }
 
-    def add_pitch(sl: dict, sig: np.ndarray) -> None:
-        sl["f0"], sl["pitch_confidence"] = pipe.pitch_signal_auto(
-            sig, sl["vad"]
-        )
-
     # Batched pitch: ONE vmapped device call per (B, L) batch instead of one
     # ~25 ms-RTT dispatch per file (CLAUDE.md: prefer few large device
     # calls; at 10k files the per-file dispatches alone cost minutes).
@@ -274,12 +269,20 @@ def process_corpus(
                 if target is None:  # huge files: individual scan-path calls
                     for i in idxs:
                         sig = signals[i]  # int16: half the bytes, cast on device
-                        block, _ = pipe.process_signal_auto(sig)
+                        if want_pitch:
+                            # fused program: one dispatch AND one transfer —
+                            # an oversized int16 signal is 65+ MB, so not
+                            # re-shipping it for pitch matters as much as
+                            # the saved round-trip
+                            block, _, f0, conf = pipe.process_signal_pitch_auto(sig)
+                        else:
+                            block, _ = pipe.process_signal_auto(sig)
                         jax.block_until_ready(block)
                         n = int(np.asarray(block.vad).shape[0])
                         sl = slice_block(block, None, n)
                         if want_pitch:
-                            add_pitch(sl, sig)
+                            sl["f0"] = np.asarray(f0)[:n]
+                            sl["pitch_confidence"] = np.asarray(conf)[:n]
                         finish(i, files[i], len(sig), sl)
                     continue
                 for lo in range(0, len(idxs), batch_size):

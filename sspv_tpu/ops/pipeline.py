@@ -25,6 +25,7 @@ bucketed shapes), `process_signal` the offline batch API.
 
 from __future__ import annotations
 
+import threading as _threading
 from typing import NamedTuple
 
 import jax
@@ -233,6 +234,11 @@ class FeaturePipeline:
         self._block_packed_jit = jax.jit(self._process_block_packed_impl)
         self._signal_masked_jit = jax.jit(self._process_signal_masked_impl)
         self._signal_packed_jit = jax.jit(self._process_signal_packed_impl)
+        # fused features+VAD+pitch programs are per pitch band (fmin/fmax
+        # set static lag-band geometry), so they cannot be built here; the
+        # dict + lock keep the build race-free and the inventory auditable
+        self._sigpitch_jits: dict = {}
+        self._sigpitch_lock = _threading.Lock()
 
     # -- core feature computation (traced) ---------------------------------
 
@@ -788,6 +794,104 @@ class FeaturePipeline:
             jnp.asarray(sig), state, jnp.int32(true_n)
         )
         return FeatureBlock(*(x[:true_n] for x in block)), new_state
+
+    def _signal_pitch_jit(self, fmin: float, fmax: float):
+        """Jitted fused ``(padded, state, true_n, min_conf) -> (block,
+        state, f0, conf)`` for one pitch band: the masked feature/VAD
+        program and the scan-blocked pitch track in ONE compiled program,
+        with pitch gated on the in-program VAD. One device dispatch (and
+        one host->device signal transfer) where the two-call path pays two
+        of each — on tunneled hardware each dispatch costs ~25 ms RTT, the
+        dominant cost of a short serving request."""
+        key = (float(fmin), float(fmax))
+        fn = self._sigpitch_jits.get(key)
+        if fn is not None:
+            return fn
+        from .pitch import pitch_track_signal
+
+        c = self.cfg
+
+        def impl(padded, state, true_n, min_conf):
+            block, new_state = self._process_signal_masked_impl(
+                padded, state, true_n
+            )
+            n_pad = block.vad.shape[0]
+            # hangover can spill decisions past true_n into the padded
+            # tail; the two-call path zero-fills those gate slots
+            # (pitch_signal_auto), so mask identically here
+            gate_vad = jnp.where(
+                jnp.arange(n_pad, dtype=jnp.int32) < true_n, block.vad, 0
+            )
+            # inner threshold -inf == vad gate only; the traced outer
+            # comparison is the sole confidence gate (same trick as
+            # pitch_track_signal_jit), so thresholds never force a compile
+            f0, conf = pitch_track_signal(
+                padded, gate_vad,
+                frame_size=c.frame_size, hop_size=c.hop_size,
+                sample_rate=c.sample_rate, fmin=key[0], fmax=key[1],
+                min_confidence=float("-inf"),
+            )
+            gate = (gate_vad > 0) & (
+                conf >= jnp.asarray(min_conf, jnp.float32)
+            )
+            f0 = jnp.where(gate, f0, 0.0).astype(jnp.float32)
+            return block, new_state, f0, conf
+
+        with self._sigpitch_lock:
+            return self._sigpitch_jits.setdefault(key, jax.jit(impl))
+
+    def process_signal_pitch_auto(
+        self,
+        signal,
+        state: vad_ops.VadState | None = None,
+        fmin: float = 50.0,
+        fmax: float = 400.0,
+        min_confidence: float = 0.3,
+    ):
+        """Features + VAD + VAD-gated pitch in ONE device dispatch, with the
+        same bucketed-compile contract (and identical outputs) as
+        :meth:`process_signal_auto` followed by :meth:`pitch_signal_auto`.
+        Returns ``(block, state, f0, confidence)`` with ``f0``/``conf`` as
+        host arrays of ``block.vad.shape[0]``. Non-view geometries and
+        sub-frame inputs fall back to the two-call path."""
+        c = self.cfg
+        sig = np.asarray(signal)
+        if sig.dtype != np.int16:
+            sig = sig.astype(np.float32, copy=False)
+        if state is None:
+            state = self.initial_state()
+        if not (
+            c.frame_size == 2 * c.hop_size
+            and self._window_strictly_positive()
+            and len(sig) >= c.frame_size
+        ):
+            block, new_state = self.process_signal_auto(sig, state)
+            f0, conf = self.pitch_signal_auto(
+                sig, np.asarray(block.vad), fmin=fmin, fmax=fmax,
+                min_confidence=min_confidence,
+            )
+            return block, new_state, f0, conf
+        true_n = 1 + (len(sig) - c.frame_size) // c.hop_size
+        sr = c.sample_rate
+        target = next(
+            (s * sr for s in self.SIGNAL_BUCKET_SECONDS if len(sig) <= s * sr),
+            None,
+        )
+        if target is None:  # oversized: same quantization as the auto path
+            quantum = self.SIGNAL_BUCKET_SECONDS[-1] * sr
+            target = -(-len(sig) // quantum) * quantum
+        if target > len(sig):
+            sig = np.pad(sig, (0, target - len(sig)))
+        fn = self._signal_pitch_jit(fmin, fmax)
+        block, new_state, f0, conf = fn(
+            jnp.asarray(sig), state, jnp.int32(true_n),
+            np.float32(min_confidence),
+        )
+        block = FeatureBlock(*(x[:true_n] for x in block))
+        return (
+            block, new_state,
+            np.asarray(f0)[:true_n], np.asarray(conf)[:true_n],
+        )
 
     def pitch_signal_auto(
         self,

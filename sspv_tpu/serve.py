@@ -177,7 +177,17 @@ class FeatureService:
             if want_pitch:
                 out.update(f0=z, pitch_confidence=z)
             return out
-        block, _state = self.pipe.process_signal_auto(sig)
+        if want_pitch:
+            # fused single-dispatch program: features + VAD + VAD-gated
+            # pitch in one device call — each dispatch costs a full tunnel
+            # RTT (~25 ms), the dominant cost of a short request, and the
+            # signal transfers once instead of twice. Outputs are
+            # bit-identical to the two-call path (tests/test_signal_auto.py)
+            block, _state, f0, conf = self.pipe.process_signal_pitch_auto(
+                sig, fmin=fmin, fmax=fmax, min_confidence=min_confidence
+            )
+        else:
+            block, _state = self.pipe.process_signal_auto(sig)
         jax.block_until_ready(block)
         vad = np.asarray(block.vad)
         out.update(
@@ -190,9 +200,7 @@ class FeatureService:
             vad_adaptive=np.asarray(block.vad_adaptive).astype(np.int32),
         )
         if want_pitch:
-            out["f0"], out["pitch_confidence"] = self.pipe.pitch_signal_auto(
-                sig, vad, fmin=fmin, fmax=fmax, min_confidence=min_confidence
-            )
+            out["f0"], out["pitch_confidence"] = f0, conf
         return out
 
     def stream_blocks(self, chunks):
@@ -219,6 +227,9 @@ class FeatureService:
         )
         for sec in buckets:
             sig = np.zeros((sec * sr,), np.int16)
+            # both program families: the plain masked program serves
+            # /v1/features and /v1/vad, the fused one serves /v1/pitch
+            self.analyze(sig, sr, want_pitch=False)
             self.analyze(sig, sr, want_pitch=True)
         stream_buckets = parse_buckets(
             getattr(Config, "TPU_STREAM_BUCKETS", (32, 256, 2048))

@@ -503,12 +503,15 @@ def test_warmup_all_buckets_compiles_each_bucket(monkeypatch):
         )
     )
     svc.warmup(all_buckets=True)
+    # two analyze calls per bucket: the plain masked program (features/vad
+    # routes) and the fused features+pitch program (pitch route)
     assert seen == [
-        s * Config.SAMPLE_RATE for s in svc.pipe.SIGNAL_BUCKET_SECONDS
+        s * Config.SAMPLE_RATE
+        for s in svc.pipe.SIGNAL_BUCKET_SECONDS for _ in (0, 1)
     ]
     seen.clear()
     svc.warmup()
-    assert seen == [svc.pipe.SIGNAL_BUCKET_SECONDS[0] * Config.SAMPLE_RATE]
+    assert seen == [svc.pipe.SIGNAL_BUCKET_SECONDS[0] * Config.SAMPLE_RATE] * 2
 
 
 def test_http_infeasible_pitch_band_is_400(server):

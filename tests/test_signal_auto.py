@@ -143,3 +143,41 @@ def test_oversized_signals_share_quantized_programs():
         # pitch path quantizes identically and returns len(vad) outputs
         f0, conf = pipe.pitch_signal_auto(sig, np.asarray(block.vad))
         assert f0.shape == np.asarray(block.vad).shape
+
+
+def test_fused_pitch_auto_matches_two_call_path():
+    """process_signal_pitch_auto (one fused dispatch: features + VAD +
+    VAD-gated pitch) must equal process_signal_auto followed by
+    pitch_signal_auto bit-for-bit — the serving layer and analyze CLI ride
+    the fused program; parity with the two-call path is its contract.
+    Covers int16/float32 input, a bucket-exact length, a sub-frame input
+    (fallback path), and a non-default band with a strict threshold."""
+    import numpy as np
+
+    from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
+
+    rng = np.random.default_rng(5)
+    sr = 16000
+    pipe = FeaturePipeline(FeatureConfig())
+    cases = [
+        (3.7, np.int16, dict()),
+        (8.0, np.float32, dict()),  # exactly the 8 s bucket boundary
+        (0.015, np.int16, dict()),  # sub-frame: falls back to two calls
+        (2.2, np.int16, dict(fmin=80.0, fmax=300.0, min_confidence=0.6)),
+    ]
+    for secs, dtype, kw in cases:
+        t = np.arange(int(secs * sr)) / sr
+        sig = (
+            4000 * np.sin(2 * np.pi * 140 * t)
+            * (((t * 2).astype(int) % 2) == 0)
+            + rng.normal(0, 300, t.size)
+        ).astype(dtype)
+        b2, _ = pipe.process_signal_auto(sig)
+        f2, c2 = pipe.pitch_signal_auto(sig, np.asarray(b2.vad), **kw)
+        b1, _, f1, c1 = pipe.process_signal_pitch_auto(sig, **kw)
+        for k in ("energy", "zcr", "entropy", "mfcc", "vad", "vad_adaptive"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(b1, k)), np.asarray(getattr(b2, k))
+            )
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
