@@ -180,24 +180,6 @@ def process_corpus(
             "vad_adaptive": np.asarray(pick(block.vad_adaptive)).astype(np.int32),
         }
 
-    # Batched pitch: ONE vmapped device call per (B, L) batch instead of one
-    # ~25 ms-RTT dispatch per file (CLAUDE.md: prefer few large device
-    # calls; at 10k files the per-file dispatches alone cost minutes).
-    _pitch_batch_cache: dict = {}
-
-    def pitch_batch(batch: np.ndarray, vads_masked: np.ndarray) -> tuple:
-        key = batch.shape
-        if key not in _pitch_batch_cache:
-            from .ops.pitch import pitch_track_signal
-
-            _pitch_batch_cache[key] = jax.jit(jax.vmap(
-                lambda s, v: pitch_track_signal(
-                    s, v, c.frame_size, c.hop_size, c.sample_rate
-                )
-            ))
-        f0, conf = _pitch_batch_cache[key](batch, vads_masked)
-        return np.asarray(f0), np.asarray(conf)
-
     used_names: set = set()
 
     done = _load_manifest(manifest, out_dir, want_pitch) if (
@@ -299,7 +281,18 @@ def process_corpus(
                         sig = signals[i]
                         batch[row, : len(sig)] = sig
                         lengths[row] = len(sig)
-                    block, _ = bp.process_batch_masked(batch, lengths)
+                    if want_pitch:
+                        # fused sharded program: features + VAD + VAD-gated
+                        # pitch in ONE dispatch per batch — the two-call
+                        # alternative pays a second ~25 ms-RTT dispatch,
+                        # re-ships the (B, L) batch, and round-trips the VAD
+                        # gate through the host
+                        block, _, f0_b, conf_b = bp.process_batch_masked_pitch(
+                            batch, lengths
+                        )
+                        f0_b, conf_b = np.asarray(f0_b), np.asarray(conf_b)
+                    else:
+                        block, _ = bp.process_batch_masked(batch, lengths)
                     jax.block_until_ready(block)
                     n_max = int(np.asarray(block.vad).shape[1])
                     row_n = np.where(
@@ -307,14 +300,6 @@ def process_corpus(
                         1 + (lengths - c.frame_size) // c.hop_size,
                         0,
                     ).astype(np.int32)
-                    if want_pitch:
-                        # gate on the per-row TRUE frame range: the hangover can
-                        # spill a few decisions past a short file's boundary
-                        valid = np.arange(n_max)[None, :] < row_n[:, None]
-                        vads_masked = (
-                            np.asarray(block.vad).astype(np.int32) * valid
-                        ).astype(np.int32)
-                        f0_b, conf_b = pitch_batch(batch, vads_masked)
                     for row, i in enumerate(chunk):
                         L = int(lengths[row])
                         n = min(int(row_n[row]), n_max)

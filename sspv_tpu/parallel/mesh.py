@@ -157,6 +157,79 @@ class BatchPipeline:
             )
         return self._batch_jit[key](signals, lengths, states)
 
+    def process_batch_masked_pitch(
+        self,
+        signals,
+        lengths,
+        states: vad_ops.VadState | None = None,
+        fmin: float = 50.0,
+        fmax: float = 400.0,
+        min_confidence: float = 0.3,
+    ):
+        """:meth:`process_batch_masked` plus the VAD-gated pitch track in ONE
+        sharded device call: returns ``(block, states, f0, conf)`` with
+        ``f0``/``conf`` of shape (B, frames). The two-call alternative pays a
+        second dispatch (~25 ms tunnel RTT each), re-ships the (B, L) signal
+        batch, and round-trips the VAD gate through the host; outputs are
+        bit-identical to it (tests/test_parallel.py). ``min_confidence`` is
+        traced (the inner track runs ungated at ``-inf``; the outer
+        comparison is the sole confidence gate), so thresholds never force a
+        recompile — one program per (shape, band)."""
+        signals = _as_transfer_dtype(signals)
+        lengths = jnp.asarray(lengths, dtype=jnp.int32)
+        b = signals.shape[0]
+        if states is None:
+            states = self.initial_states(b)
+        c = self.pipe.cfg
+        key = ("batch_masked_pitch", signals.shape, float(fmin), float(fmax))
+        if key not in self._batch_jit:
+            from ..ops.pitch import pitch_track_signal
+
+            def impl(sigs, lens, sts, min_conf):
+                def one(signal, length, state, mc):
+                    frames = self.pipe._device_stream_frames(signal)
+                    frames = jax.lax.with_sharding_constraint(
+                        frames, NamedSharding(self.mesh, P("seq", None))
+                    )
+                    n = frames.shape[0]
+                    true_n = jnp.where(
+                        length >= c.frame_size,
+                        1 + (length - c.frame_size) // c.hop_size,
+                        0,
+                    )
+                    valid = jnp.arange(n, dtype=jnp.int32) < true_n
+                    block, new_state = self.pipe._process_block_impl(
+                        frames, state, valid
+                    )
+                    # hangover can spill decisions past a short row's true
+                    # frame range into the zero padding; gate pitch on the
+                    # masked VAD exactly like the two-call path does host-side
+                    gate_vad = jnp.where(valid, block.vad, 0)
+                    f0, conf = pitch_track_signal(
+                        signal, gate_vad,
+                        frame_size=c.frame_size, hop_size=c.hop_size,
+                        sample_rate=c.sample_rate, fmin=fmin, fmax=fmax,
+                        min_confidence=float("-inf"),
+                    )
+                    gate = (gate_vad > 0) & (conf >= mc)
+                    f0 = jnp.where(gate, f0, 0.0).astype(jnp.float32)
+                    return block, new_state, f0, conf
+
+                return jax.vmap(one, in_axes=(0, 0, 0, None))(
+                    sigs, lens, sts, min_conf
+                )
+
+            in_sh = NamedSharding(self.mesh, P("data", None))
+            len_sh = NamedSharding(self.mesh, P("data"))
+            self._batch_jit[key] = jax.jit(
+                impl,
+                in_shardings=(in_sh, len_sh,
+                              jax.tree.map(lambda _: len_sh, states), None),
+            )
+        return self._batch_jit[key](
+            signals, lengths, states, jnp.float32(min_confidence)
+        )
+
     def process_long(
         self, signal, state: vad_ops.VadState | None = None
     ) -> tuple[FeatureBlock, vad_ops.VadState]:

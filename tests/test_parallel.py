@@ -332,6 +332,74 @@ def test_pitch_track_under_mesh():
     assert (np.asarray(f0_mesh) > 0).any()
 
 
+def test_batch_masked_pitch_fused_matches_two_call_path():
+    """process_batch_masked_pitch (ONE sharded dispatch: features + VAD +
+    VAD-gated pitch per (B, L) batch — the batch CLI's path) must bit-match
+    the two-call construction it replaced: process_batch_masked, then a
+    host-gated vmapped pitch_track_signal on the masked VAD. Mixed-length
+    int16 rows including a sub-frame row and an all-zero (fully masked)
+    padding row, plus a non-default band with a strict threshold."""
+    import jax
+
+    from sspv_tpu.ops.pitch import pitch_track_signal
+
+    rng = np.random.default_rng(23)
+    sr = 16000
+    c = FeatureConfig()
+    lengths = [sr, sr // 2, 300, sr * 2, 0, sr + 11 * 160, sr * 2, sr // 4]
+    L = max(lengths)
+    signals = np.zeros((8, L), dtype=np.int16)
+    t = np.arange(L) / sr
+    for i, n in enumerate(lengths):
+        tone = 6000 * np.sin(2 * np.pi * (120 + 15 * i) * t[:n])
+        signals[i, :n] = (tone * ((t[:n] * 4).astype(int) % 2 == 0)
+                          + rng.normal(0, 500, n)).astype(np.int16)
+
+    mesh = make_mesh(8)
+    bp = BatchPipeline(mesh)
+    for kw in (dict(), dict(fmin=80.0, fmax=300.0, min_confidence=0.6)):
+        block_f, states_f, f0_f, conf_f = bp.process_batch_masked_pitch(
+            signals, lengths, **kw
+        )
+
+        # comparator: the exact two-call construction the fused path replaced
+        block_2, states_2 = bp.process_batch_masked(signals, lengths)
+        n_max = np.asarray(block_2.vad).shape[1]
+        row_n = np.where(
+            np.asarray(lengths) >= c.frame_size,
+            1 + (np.asarray(lengths) - c.frame_size) // c.hop_size,
+            0,
+        )
+        valid = np.arange(n_max)[None, :] < row_n[:, None]
+        vads_masked = (np.asarray(block_2.vad).astype(np.int32) * valid)
+        f0_2, conf_2 = jax.jit(jax.vmap(
+            lambda s, v: pitch_track_signal(
+                s, v, c.frame_size, c.hop_size, c.sample_rate, **kw
+            )
+        ))(signals, vads_masked.astype(np.int32))
+
+        for name, a, b in (
+            ("energy", block_f.energy, block_2.energy),
+            ("vad", block_f.vad, block_2.vad),
+            ("vad_adaptive", block_f.vad_adaptive, block_2.vad_adaptive),
+            ("mfcc", block_f.mfcc, block_2.mfcc),
+            ("f0", f0_f, f0_2),
+            ("conf", conf_f, conf_2),
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=name
+            )
+        np.testing.assert_array_equal(
+            np.asarray(states_f.count), np.asarray(states_2.count)
+        )
+        # a fused program actually compiled per band (not the two-call pair)
+        assert ("batch_masked_pitch", signals.shape,
+                kw.get("fmin", 50.0), kw.get("fmax", 400.0)) in bp._batch_jit
+        # sanity: some voiced frames found in the default band
+        if not kw:
+            assert (np.asarray(f0_f) > 0).any()
+
+
 def test_batch_masked_unequal_lengths():
     """dp batch of unequal-length signals via zero-padding + per-signal
     masked frame counts: each row must match processing its true-length
