@@ -807,7 +807,7 @@ class FeaturePipeline:
         fn = self._sigpitch_jits.get(key)
         if fn is not None:
             return fn
-        from .pitch import pitch_track_signal
+        from .pitch import pitch_track_signal_gated
 
         c = self.cfg
 
@@ -822,23 +822,26 @@ class FeaturePipeline:
             gate_vad = jnp.where(
                 jnp.arange(n_pad, dtype=jnp.int32) < true_n, block.vad, 0
             )
-            # inner threshold -inf == vad gate only; the traced outer
-            # comparison is the sole confidence gate (same trick as
-            # pitch_track_signal_jit), so thresholds never force a compile
-            f0, conf = pitch_track_signal(
-                padded, gate_vad,
+            # shared traced-threshold gate (ops/pitch.py): thresholds never
+            # force a compile, and all fused programs share one definition
+            f0, conf = pitch_track_signal_gated(
+                padded, gate_vad, min_conf,
                 frame_size=c.frame_size, hop_size=c.hop_size,
                 sample_rate=c.sample_rate, fmin=key[0], fmax=key[1],
-                min_confidence=float("-inf"),
             )
-            gate = (gate_vad > 0) & (
-                conf >= jnp.asarray(min_conf, jnp.float32)
-            )
-            f0 = jnp.where(gate, f0, 0.0).astype(jnp.float32)
             return block, new_state, f0, conf
 
         with self._sigpitch_lock:
-            return self._sigpitch_jits.setdefault(key, jax.jit(impl))
+            if key not in self._sigpitch_jits:
+                # bounded like ops/pitch._pitch_jit_cached (serve's snapped
+                # band grid alone permits 153 pairs): a band-sweeping caller
+                # must not accumulate compiled executables without limit
+                while len(self._sigpitch_jits) >= 256:
+                    self._sigpitch_jits.pop(
+                        next(iter(self._sigpitch_jits))
+                    )
+                self._sigpitch_jits[key] = jax.jit(impl)
+            return self._sigpitch_jits[key]
 
     def process_signal_pitch_auto(
         self,

@@ -35,6 +35,7 @@ __all__ = [
     "pitch_from_frames",
     "pitch_track",
     "pitch_track_signal",
+    "pitch_track_signal_gated",
     "pitch_track_signal_jit",
 ]
 
@@ -306,27 +307,58 @@ def pitch_track_signal_jit(
     )
 
 
+def pitch_track_signal_gated(
+    signal,
+    vad,
+    min_confidence,
+    *,
+    frame_size: int = 320,
+    hop_size: int = 160,
+    sample_rate: int = 16000,
+    fmin: float = 50.0,
+    fmax: float = 400.0,
+    acf_impl: str = "dft",
+    precision: str = "high",
+):
+    """Traceable ``pitch_track_signal`` with a TRACED confidence threshold.
+
+    The inner track runs at ``min_confidence=-inf`` ("vad gate only"); the
+    OUTER traced comparison is then the sole confidence gate, preserving
+    exact semantics for ANY traced threshold (including negative ones that
+    keep aperiodic frames whose normalized ACF dips below 0 — an inner 0.0
+    would have zeroed those irrecoverably). Because the threshold is traced,
+    it never multiplies the compile count — important wherever it is
+    client-controlled (serving) and a static value would cost a minutes-long
+    remote compile. This is THE shared gate definition: every fused program
+    (`FeaturePipeline.process_signal_pitch_auto`,
+    `BatchPipeline.process_batch_masked_pitch`) and the jitted two-call
+    wrapper below compose it, so the bit-identity contract between them
+    (CLAUDE.md) has a single point of truth.
+    """
+    f0, conf = pitch_track_signal(
+        signal, vad,
+        frame_size=frame_size, hop_size=hop_size,
+        sample_rate=sample_rate, fmin=fmin, fmax=fmax,
+        min_confidence=float("-inf"), acf_impl=acf_impl,
+        precision=precision,
+    )
+    gate = (jnp.asarray(vad) > 0) & (
+        conf >= jnp.asarray(min_confidence, jnp.float32)
+    )
+    return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
+
+
 @functools.lru_cache(maxsize=256)  # serve's band grid alone permits 153 pairs
 def _pitch_jit_cached(
     frame_size: int, hop_size: int, sample_rate: int,
     fmin: float, fmax: float, acf_impl: str, precision: str,
 ):
     def impl(signal, vad, min_confidence):
-        # inner threshold -inf == "vad gate only": the OUTER traced
-        # comparison is then the sole confidence gate, preserving exact
-        # semantics for ANY traced threshold (including negative ones that
-        # keep aperiodic frames whose normalized ACF dips below 0 — an
-        # inner 0.0 would have zeroed those irrecoverably)
-        f0, conf = pitch_track_signal(
-            signal, vad,
+        return pitch_track_signal_gated(
+            signal, vad, min_confidence,
             frame_size=frame_size, hop_size=hop_size,
             sample_rate=sample_rate, fmin=fmin, fmax=fmax,
-            min_confidence=float("-inf"), acf_impl=acf_impl,
-            precision=precision,
+            acf_impl=acf_impl, precision=precision,
         )
-        gate = (jnp.asarray(vad) > 0) & (
-            conf >= jnp.asarray(min_confidence, jnp.float32)
-        )
-        return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
 
     return jax.jit(impl)

@@ -113,6 +113,27 @@ class BatchPipeline:
             )
         return self._batch_jit[key](signals, states)
 
+    def _masked_row(self, signal, length, state):
+        """Traced per-row body shared by :meth:`process_batch_masked` and
+        :meth:`process_batch_masked_pitch`: frame, shard the frame axis over
+        "seq", mask the zero-padded tail out of the VAD state. One definition
+        keeps the fused block bit-identical to the plain one by construction.
+        Returns ``(block, new_state, valid)``."""
+        c = self.pipe.cfg
+        frames = self.pipe._device_stream_frames(signal)
+        frames = jax.lax.with_sharding_constraint(
+            frames, NamedSharding(self.mesh, P("seq", None))
+        )
+        n = frames.shape[0]
+        true_n = jnp.where(
+            length >= c.frame_size,
+            1 + (length - c.frame_size) // c.hop_size,
+            0,
+        )
+        valid = jnp.arange(n, dtype=jnp.int32) < true_n
+        block, new_state = self.pipe._process_block_impl(frames, state, valid)
+        return block, new_state, valid
+
     def process_batch_masked(
         self, signals, lengths, states: vad_ops.VadState | None = None
     ) -> tuple[FeatureBlock, vad_ops.VadState]:
@@ -127,24 +148,15 @@ class BatchPipeline:
         b = signals.shape[0]
         if states is None:
             states = self.initial_states(b)
-        c = self.pipe.cfg
         key = ("batch_masked", signals.shape)
         if key not in self._batch_jit:
 
             def impl(sigs, lens, sts):
                 def one(signal, length, state):
-                    frames = self.pipe._device_stream_frames(signal)
-                    frames = jax.lax.with_sharding_constraint(
-                        frames, NamedSharding(self.mesh, P("seq", None))
+                    block, new_state, _ = self._masked_row(
+                        signal, length, state
                     )
-                    n = frames.shape[0]
-                    true_n = jnp.where(
-                        length >= c.frame_size,
-                        1 + (length - c.frame_size) // c.hop_size,
-                        0,
-                    )
-                    valid = jnp.arange(n, dtype=jnp.int32) < true_n
-                    return self.pipe._process_block_impl(frames, state, valid)
+                    return block, new_state
 
                 return jax.vmap(one)(sigs, lens, sts)
 
@@ -183,36 +195,23 @@ class BatchPipeline:
         c = self.pipe.cfg
         key = ("batch_masked_pitch", signals.shape, float(fmin), float(fmax))
         if key not in self._batch_jit:
-            from ..ops.pitch import pitch_track_signal
+            from ..ops.pitch import pitch_track_signal_gated
 
             def impl(sigs, lens, sts, min_conf):
                 def one(signal, length, state, mc):
-                    frames = self.pipe._device_stream_frames(signal)
-                    frames = jax.lax.with_sharding_constraint(
-                        frames, NamedSharding(self.mesh, P("seq", None))
-                    )
-                    n = frames.shape[0]
-                    true_n = jnp.where(
-                        length >= c.frame_size,
-                        1 + (length - c.frame_size) // c.hop_size,
-                        0,
-                    )
-                    valid = jnp.arange(n, dtype=jnp.int32) < true_n
-                    block, new_state = self.pipe._process_block_impl(
-                        frames, state, valid
+                    block, new_state, valid = self._masked_row(
+                        signal, length, state
                     )
                     # hangover can spill decisions past a short row's true
                     # frame range into the zero padding; gate pitch on the
                     # masked VAD exactly like the two-call path does host-side
                     gate_vad = jnp.where(valid, block.vad, 0)
-                    f0, conf = pitch_track_signal(
-                        signal, gate_vad,
+                    # shared traced-threshold gate (ops/pitch.py)
+                    f0, conf = pitch_track_signal_gated(
+                        signal, gate_vad, mc,
                         frame_size=c.frame_size, hop_size=c.hop_size,
                         sample_rate=c.sample_rate, fmin=fmin, fmax=fmax,
-                        min_confidence=float("-inf"),
                     )
-                    gate = (gate_vad > 0) & (conf >= mc)
-                    f0 = jnp.where(gate, f0, 0.0).astype(jnp.float32)
                     return block, new_state, f0, conf
 
                 return jax.vmap(one, in_axes=(0, 0, 0, None))(

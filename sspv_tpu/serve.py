@@ -177,14 +177,20 @@ class FeatureService:
             if want_pitch:
                 out.update(f0=z, pitch_confidence=z)
             return out
-        if want_pitch:
+        fused = want_pitch and (fmin, fmax) == (50.0, 400.0)
+        if fused:
             # fused single-dispatch program: features + VAD + VAD-gated
             # pitch in one device call — each dispatch costs a full tunnel
             # RTT (~25 ms), the dominant cost of a short request, and the
             # signal transfers once instead of twice. Outputs are
-            # bit-identical to the two-call path (tests/test_signal_auto.py)
+            # bit-identical to the two-call path (tests/test_signal_auto.py).
+            # DEFAULT band only: it is the one warmup compiles; a custom band
+            # would cold-compile the whole fused pipeline per (band, bucket)
+            # (minutes on remote hardware) where the two-call path below
+            # reuses the warm feature program and compiles only the small
+            # pitch track.
             block, _state, f0, conf = self.pipe.process_signal_pitch_auto(
-                sig, fmin=fmin, fmax=fmax, min_confidence=min_confidence
+                sig, min_confidence=min_confidence
             )
         else:
             block, _state = self.pipe.process_signal_auto(sig)
@@ -200,6 +206,13 @@ class FeatureService:
             vad_adaptive=np.asarray(block.vad_adaptive).astype(np.int32),
         )
         if want_pitch:
+            if not fused:  # custom band: warm feature program + small
+                # pitch-track compile (pitch_track_signal_jit's cached
+                # callable; threshold traced)
+                f0, conf = self.pipe.pitch_signal_auto(
+                    sig, vad, fmin=fmin, fmax=fmax,
+                    min_confidence=min_confidence,
+                )
             out["f0"], out["pitch_confidence"] = f0, conf
         return out
 

@@ -514,6 +514,46 @@ def test_warmup_all_buckets_compiles_each_bucket(monkeypatch):
     assert seen == [svc.pipe.SIGNAL_BUCKET_SECONDS[0] * Config.SAMPLE_RATE] * 2
 
 
+def test_pitch_band_routing_fused_vs_two_call(monkeypatch):
+    """Default-band pitch requests must ride the fused single-dispatch
+    program (the warmed one); custom bands must stay on the two-call path
+    (warm feature program + small cached pitch-track compile) so a custom
+    band never cold-compiles the whole fused pipeline. Both must produce
+    identical results."""
+    svc = FeatureService()
+    calls = []
+    real_fused = svc.pipe.process_signal_pitch_auto
+    real_auto = svc.pipe.process_signal_auto
+    real_pitch = svc.pipe.pitch_signal_auto
+    monkeypatch.setattr(
+        svc.pipe, "process_signal_pitch_auto",
+        lambda *a, **k: calls.append("fused") or real_fused(*a, **k),
+    )
+    monkeypatch.setattr(
+        svc.pipe, "process_signal_auto",
+        lambda *a, **k: calls.append("auto") or real_auto(*a, **k),
+    )
+    monkeypatch.setattr(
+        svc.pipe, "pitch_signal_auto",
+        lambda *a, **k: calls.append("pitch") or real_pitch(*a, **k),
+    )
+    t = np.arange(Config.SAMPLE_RATE) / Config.SAMPLE_RATE
+    sig = (5000 * np.sin(2 * np.pi * 150 * t)).astype(np.int16)
+
+    out_d = svc.analyze(sig, Config.SAMPLE_RATE, want_pitch=True)
+    assert calls == ["fused"]
+    calls.clear()
+    out_c = svc.analyze(
+        sig, Config.SAMPLE_RATE, want_pitch=True, fmin=80.0, fmax=300.0
+    )
+    assert calls == ["auto", "pitch"]
+    # both bands agree on the obvious 150 Hz tone
+    for out in (out_d, out_c):
+        f0 = np.asarray(out["f0"])
+        v = f0[f0 > 0]
+        assert v.size and abs(np.median(v) - 150) < 10
+
+
 def test_http_infeasible_pitch_band_is_400(server):
     """fmin/fmax pairs from the grid that leave no lag band for the frame
     geometry (e.g. 30..50 Hz needs lag 320 > 319) must be a 400, not a
