@@ -236,8 +236,9 @@ class FeaturePipeline:
         self._signal_packed_jit = jax.jit(self._process_signal_packed_impl)
         # fused features+VAD+pitch programs are per pitch band (fmin/fmax
         # set static lag-band geometry), so they cannot be built here; the
-        # dict + lock keep the build race-free and the inventory auditable
+        # dicts + lock keep the builds race-free and the inventory auditable
         self._sigpitch_jits: dict = {}
+        self._block_pitch_jits: dict = {}
         self._sigpitch_lock = _threading.Lock()
 
     # -- core feature computation (traced) ---------------------------------
@@ -842,6 +843,99 @@ class FeaturePipeline:
                     )
                 self._sigpitch_jits[key] = jax.jit(impl)
             return self._sigpitch_jits[key]
+
+    def _block_pitch_jit(self, fmin: float, fmax: float):
+        """Jitted fused ``(frames_raw, state, valid, min_conf) -> (block,
+        state, f0, conf)`` for one pitch band: the streaming frame-block
+        program (:meth:`process_block`) plus the frames-path VAD-gated pitch
+        track in ONE compiled program — real-time F0 at frame-block latency
+        for one extra matmul, zero extra dispatches. Gate semantics shared
+        with every other fused program (ops/pitch.py:pitch_track_gated);
+        ``acf_impl="direct"`` is the frames-path reference semantics
+        (reference time_features.py:52-76) and runs at HIGHEST precision."""
+        key = (float(fmin), float(fmax))
+        fn = self._block_pitch_jits.get(key)
+        if fn is not None:
+            return fn
+        from .pitch import pitch_track_gated
+
+        c = self.cfg
+
+        def impl(frames_raw, state, valid, min_conf):
+            block, new_state = self._process_block_impl(
+                frames_raw, state, valid
+            )
+            gate_vad = (
+                block.vad if valid is None else jnp.where(valid, block.vad, 0)
+            )
+            f0, conf = pitch_track_gated(
+                frames_raw, gate_vad, min_conf,
+                sample_rate=c.sample_rate, fmin=key[0], fmax=key[1],
+            )
+            return block, new_state, f0, conf
+
+        with self._sigpitch_lock:
+            if key not in self._block_pitch_jits:
+                while len(self._block_pitch_jits) >= 256:
+                    self._block_pitch_jits.pop(
+                        next(iter(self._block_pitch_jits))
+                    )
+                self._block_pitch_jits[key] = jax.jit(impl)
+            return self._block_pitch_jits[key]
+
+    def stream_pitch(
+        self,
+        chunks,
+        state: vad_ops.VadState | None = None,
+        buckets: tuple[int, ...] | None = None,
+        fmin: float = 50.0,
+        fmax: float = 400.0,
+        min_confidence: float = 0.3,
+    ):
+        """:meth:`stream` plus a real-time VAD-gated F0 track: yields
+        ``(FeatureBlock, f0, conf)`` per completed frame block, all three
+        sliced to the block's true frame count, computed in ONE fused device
+        dispatch per block. The blocks are bit-identical to :meth:`stream`'s
+        and the concatenated ``f0`` bit-matches the offline frames-path
+        track on the same signal (tests/test_stream_pitch.py)."""
+        import jax.numpy as jnp_
+
+        c = self.cfg
+        if buckets is None:
+            from ..config import Config, parse_buckets
+
+            buckets = parse_buckets(
+                getattr(Config, "TPU_STREAM_BUCKETS", (32, 256, 2048))
+            )
+        if state is None:
+            state = self.initial_state()
+        fn = self._block_pitch_jit(fmin, fmax)
+        mc = np.float32(min_confidence)
+        carry = np.zeros((0,), dtype=np.float32)
+        top = buckets[-1]
+        for chunk in chunks:
+            chunk = np.asarray(chunk)
+            carry = np.concatenate([carry, chunk.astype(np.float32)])
+            frames = self.stream_frames(carry)
+            n = frames.shape[0]
+            if n == 0:
+                continue
+            carry = carry[n * c.hop_size :]
+            for lo in range(0, n, top):
+                part = frames[lo : lo + top]
+                m = part.shape[0]
+                bucket = next((b for b in buckets if m <= b), top)
+                if bucket != m:
+                    part = np.pad(part, ((0, bucket - m), (0, 0)))
+                valid = jnp_.asarray(np.arange(bucket) < m)
+                block, state, f0, conf = fn(
+                    jnp_.asarray(part, dtype=jnp_.float32), state, valid, mc
+                )
+                yield (
+                    FeatureBlock(*(x[:m] for x in block)),
+                    np.asarray(f0)[:m],
+                    np.asarray(conf)[:m],
+                )
 
     def process_signal_pitch_auto(
         self,

@@ -34,6 +34,7 @@ from .time_features import (
 __all__ = [
     "pitch_from_frames",
     "pitch_track",
+    "pitch_track_gated",
     "pitch_track_signal",
     "pitch_track_signal_gated",
     "pitch_track_signal_jit",
@@ -117,6 +118,27 @@ def pitch_from_frames(
     return _band_peak_pick(acf, lag_min, lag_max, sample_rate)
 
 
+def pitch_track_gated(
+    frames,
+    vad,
+    min_confidence,
+    *,
+    sample_rate: int = 16000,
+    fmin: float = 50.0,
+    fmax: float = 400.0,
+    acf_impl: str = "direct",
+):
+    """Frames-path :func:`pitch_track` with a TRACED confidence threshold —
+    the frames-side twin of :func:`pitch_track_signal_gated` and the single
+    gate definition the fused streaming program composes (thresholds never
+    multiply the compile count)."""
+    f0, conf = pitch_from_frames(frames, sample_rate, fmin, fmax, acf_impl)
+    gate = (jnp.asarray(vad) > 0) & (
+        conf >= jnp.asarray(min_confidence, jnp.float32)
+    )
+    return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
+
+
 def pitch_track(
     frames,
     vad,
@@ -128,9 +150,10 @@ def pitch_track(
 ):
     """VAD-gated pitch track: F0 per frame, 0 where unvoiced or where the ACF
     peak is weaker than ``min_confidence``."""
-    f0, conf = pitch_from_frames(frames, sample_rate, fmin, fmax, acf_impl)
-    gate = (jnp.asarray(vad) > 0) & (conf >= jnp.float32(min_confidence))
-    return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
+    return pitch_track_gated(
+        frames, vad, jnp.float32(min_confidence),
+        sample_rate=sample_rate, fmin=fmin, fmax=fmax, acf_impl=acf_impl,
+    )
 
 
 # Frames per lax.scan step on the long-signal pitch path (mirrors

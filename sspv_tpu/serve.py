@@ -216,10 +216,16 @@ class FeatureService:
             out["f0"], out["pitch_confidence"] = f0, conf
         return out
 
-    def stream_blocks(self, chunks):
+    def stream_blocks(self, chunks, pitch: bool = False,
+                      min_confidence: float = 0.3):
         """Generator: iterable of int16 sample chunks (model rate) ->
         FeatureBlock per completed frame block, with overlap tail and VAD
-        state carried across chunks (``FeaturePipeline.stream``)."""
+        state carried across chunks (``FeaturePipeline.stream``). With
+        ``pitch=True`` yields ``(block, f0, conf)`` from the fused
+        streaming program (``FeaturePipeline.stream_pitch``, default band —
+        same single-dispatch-per-block budget)."""
+        if pitch:
+            return self.pipe.stream_pitch(chunks, min_confidence=min_confidence)
         return self.pipe.stream(chunks)
 
     def warmup(self, all_buckets: bool = False) -> None:
@@ -251,6 +257,13 @@ class FeatureService:
             n = (b - 1) * c.hop_size + c.frame_size
             for _block in self.pipe.stream(iter([np.zeros((n,), np.int16)])):
                 pass
+            if all_buckets:
+                # production servers also pre-compile the fused streaming
+                # pitch program family (/v1/stream?pitch=1, default band)
+                for _row in self.pipe.stream_pitch(
+                    iter([np.zeros((n,), np.int16)])
+                ):
+                    pass
 
 
 # ---------------------------------------------------------------------------
@@ -624,6 +637,12 @@ class _Handler(BaseHTTPRequestHandler):
                 self._reply_error(413, "request body too large")
                 return
         want_mfcc = query.get("mfcc", ["0"])[0] not in ("0", "false", "")
+        want_pitch = query.get("pitch", ["0"])[0] not in ("0", "false", "")
+        try:
+            min_conf = float(query.get("min_confidence", ["0.3"])[0])
+        except ValueError:
+            self._reply_error(400, "min_confidence must be a float")
+            return
 
         # Coalesce tiny client chunks before dispatch: one device call per
         # 10 ms chunk costs ~25 ms tunnel RTT each (CLAUDE.md: prefer few
@@ -669,7 +688,13 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         emitted = 0
         try:
-            for block in self.service.stream_blocks(sample_chunks()):
+            for item in self.service.stream_blocks(
+                sample_chunks(), pitch=want_pitch, min_confidence=min_conf
+            ):
+                if want_pitch:
+                    block, f0, conf = item
+                else:
+                    block = item
                 row = {
                     "block": emitted,
                     "frames": int(np.asarray(block.vad).shape[0]),
@@ -682,6 +707,9 @@ class _Handler(BaseHTTPRequestHandler):
                 }
                 if want_mfcc:
                     row["mfcc"] = np.asarray(block.mfcc).tolist()
+                if want_pitch:
+                    row["f0"] = np.asarray(f0).tolist()
+                    row["pitch_confidence"] = np.asarray(conf).tolist()
                 self._write_response_chunk(
                     json.dumps(row).encode("utf-8") + b"\n"
                 )

@@ -440,6 +440,32 @@ def test_http_stream_matches_pipeline_stream(server):
     assert "mfcc" not in rows[0]
 
 
+def test_http_stream_pitch_rows(server):
+    """/v1/stream?pitch=1 adds per-frame f0 + pitch_confidence from the
+    fused streaming program; the concatenated F0 must bit-match the offline
+    frames-path track gated on the streamed VAD."""
+    from sspv_tpu.ops.pitch import pitch_track
+
+    samples, _sr = _tone_i16(2.0)
+    status, rows = _stream_request(
+        server, samples, query="?pitch=1&min_confidence=0.4"
+    )
+    assert status == 200 and rows[-1]["done"] is True
+    data = rows[:-1]
+    assert all(len(r["f0"]) == r["frames"] for r in data)
+    assert all(len(r["pitch_confidence"]) == r["frames"] for r in data)
+    svc = server.RequestHandlerClass.service
+    vad = np.array([v for r in data for v in r["vad"]], np.int32)
+    frames = svc.pipe.stream_frames(samples)[: vad.shape[0]]
+    want_f0, _ = pitch_track(frames, vad, min_confidence=0.4)
+    got_f0 = np.array([v for r in data for v in r["f0"]], np.float32)
+    np.testing.assert_array_equal(got_f0, np.asarray(want_f0))
+    assert (got_f0 > 0).any()
+    # plain stream rows must not carry pitch fields
+    status, rows2 = _stream_request(server, samples[:16000])
+    assert status == 200 and "f0" not in rows2[0]
+
+
 def test_http_stream_mfcc_and_single_body(server):
     samples, sr = _tone_i16(0.8)
     # non-chunked clients: one Content-Length body, still NDJSON out

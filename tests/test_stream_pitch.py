@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Fused streaming pitch (FeaturePipeline.stream_pitch): real-time F0 at
+frame-block latency, one device dispatch per block.
+
+Contracts:
+- yielded blocks are bit-identical to FeaturePipeline.stream's under the
+  same chunking (the fused program must not perturb the feature path);
+- the concatenated F0/confidence bit-match the offline frames-path track
+  (ops/pitch.pitch_track, reference ACF semantics time_features.py:52-76)
+  gated on the streaming VAD — i.e. chunking and bucket padding are
+  invisible to pitch.
+"""
+
+import numpy as np
+
+from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
+from sspv_tpu.ops.pitch import pitch_track
+
+
+def _speechy(seconds: float, sr: int = 16000, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    seg = (t * 2).astype(int) % 4
+    sig = rng.normal(0, 40, n)
+    sig = np.where(seg == 1, 7000 * np.sin(2 * np.pi * 135 * t), sig)
+    sig = np.where(seg == 2, rng.normal(0, 2200, n), sig)
+    return sig.astype(np.float32)
+
+
+def _chunk(sig: np.ndarray, sizes) -> list:
+    out, pos, i = [], 0, 0
+    while pos < len(sig):
+        s = sizes[i % len(sizes)]
+        out.append(sig[pos : pos + s])
+        pos += s
+        i += 1
+    return out
+
+
+def test_stream_pitch_matches_stream_and_offline_track():
+    sig = _speechy(3.0)
+    pipe = FeaturePipeline(FeatureConfig())
+    for sizes in ([1600], [777, 4096, 123], [160000]):
+        chunks = _chunk(sig, sizes)
+        plain = list(pipe.stream(iter(chunks)))
+        fused = list(pipe.stream_pitch(iter(chunks)))
+        assert len(plain) == len(fused)
+        for want, (got, f0, conf) in zip(plain, fused):
+            for k in ("energy", "zcr", "entropy", "mfcc", "vad",
+                      "vad_adaptive"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(got, k)), np.asarray(getattr(want, k)),
+                    err_msg=f"{k} sizes={sizes}",
+                )
+            assert f0.shape == conf.shape == np.asarray(want.vad).shape
+
+        # offline comparator: reference-semantics frames-path track gated on
+        # the streaming VAD (bit-identical to the full-signal run)
+        vad = np.concatenate([np.asarray(b.vad) for b in plain])
+        frames = pipe.stream_frames(sig)[: vad.shape[0]]
+        want_f0, want_conf = pitch_track(frames, vad)
+        got_f0 = np.concatenate([f for _, f, _ in fused])
+        got_conf = np.concatenate([c for _, _, c in fused])
+        np.testing.assert_array_equal(got_f0, np.asarray(want_f0))
+        np.testing.assert_array_equal(got_conf, np.asarray(want_conf))
+        # the voiced tone is actually tracked
+        v = got_f0[got_f0 > 0]
+        assert v.size and abs(np.median(v) - 135) < 10
+
+
+def test_stream_pitch_band_and_threshold():
+    """Non-default band + strict threshold: traced threshold must gate
+    identically to the offline track's static one; the band key compiles a
+    separate fused program (bounded cache)."""
+    sig = _speechy(1.5, seed=3)
+    pipe = FeaturePipeline(FeatureConfig())
+    kw = dict(fmin=90.0, fmax=250.0, min_confidence=0.55)
+    fused = list(pipe.stream_pitch(iter([sig]), **kw))
+    vad = np.concatenate([np.asarray(b.vad) for b, _, _ in fused])
+    frames = pipe.stream_frames(sig)[: vad.shape[0]]
+    want_f0, want_conf = pitch_track(
+        frames, vad, fmin=kw["fmin"], fmax=kw["fmax"],
+        min_confidence=kw["min_confidence"],
+    )
+    got_f0 = np.concatenate([f for _, f, _ in fused])
+    np.testing.assert_array_equal(got_f0, np.asarray(want_f0))
+    np.testing.assert_array_equal(
+        np.concatenate([c for _, _, c in fused]), np.asarray(want_conf)
+    )
+    assert (90.0, 250.0) in pipe._block_pitch_jits
+    assert (50.0, 400.0) not in pipe._block_pitch_jits
