@@ -851,8 +851,12 @@ class FeaturePipeline:
         track in ONE compiled program — real-time F0 at frame-block latency
         for one extra matmul, zero extra dispatches. Gate semantics shared
         with every other fused program (ops/pitch.py:pitch_track_gated);
-        ``acf_impl="direct"`` is the frames-path reference semantics
-        (reference time_features.py:52-76) and runs at HIGHEST precision."""
+        the ACF uses the Wiener-Khinchin matmul form (``acf_impl="dft"``,
+        MXU-friendly, ~lag_max-fold less HBM traffic than the unrolled
+        sliding sums; same form the offline signal path uses), so the
+        comparator contract is ``pitch_track(frames, vad, acf_impl="dft")``
+        — see ops/time_features.py:autocorrelation_via_dft for its parity
+        vs the reference loop (time_features.py:73-76)."""
         key = (float(fmin), float(fmax))
         fn = self._block_pitch_jits.get(key)
         if fn is not None:
@@ -871,6 +875,7 @@ class FeaturePipeline:
             f0, conf = pitch_track_gated(
                 frames_raw, gate_vad, min_conf,
                 sample_rate=c.sample_rate, fmin=key[0], fmax=key[1],
+                acf_impl="dft",
             )
             return block, new_state, f0, conf
 

@@ -457,7 +457,7 @@ def test_http_stream_pitch_rows(server):
     svc = server.RequestHandlerClass.service
     vad = np.array([v for r in data for v in r["vad"]], np.int32)
     frames = svc.pipe.stream_frames(samples)[: vad.shape[0]]
-    want_f0, _ = pitch_track(frames, vad, min_confidence=0.4)
+    want_f0, _ = pitch_track(frames, vad, min_confidence=0.4, acf_impl="dft")
     got_f0 = np.array([v for r in data for v in r["f0"]], np.float32)
     np.testing.assert_array_equal(got_f0, np.asarray(want_f0))
     assert (got_f0 > 0).any()
