@@ -177,6 +177,16 @@ class Config:
     # chunk cadences dispatch without waiting to fill 32 frames. Measured
     # numbers in docs/benchmarks.md.
     TPU_LOW_LATENCY = False
+    # Real-time pitch in the streaming engine (opt-in; beyond the reference):
+    # the engine dispatches the pitch-enabled packed programs — features +
+    # VAD + a VAD-gated F0 track fused into the SAME single device call per
+    # block (two extra packed columns; same contract as /v1/stream?pitch=1).
+    # Results surface via AudioRuntime.get_recent_pitch(); the frozen
+    # processed-frame dicts and the save_data npz schema are untouched.
+    TPU_ENGINE_PITCH = False
+    # Confidence gate for the engine pitch track (normalized-ACF peak value;
+    # frames below it report F0=0 even when the VAD says voiced).
+    TPU_ENGINE_PITCH_MIN_CONF = 0.3
 
     @staticmethod
     def setup_logging() -> None:
@@ -259,13 +269,15 @@ class Config:
         logging.info("log level: %s", Config.LOG_LEVEL)
         logging.info(
             "tpu: precision=%s, dft_layout=%s, view_layout=%s, "
-            "view_kernel=%d, vad_impl=%s, samples_dispatch=%d",
+            "view_kernel=%d, vad_impl=%s, samples_dispatch=%d, "
+            "engine_pitch=%d",
             Config.TPU_MATMUL_PRECISION,
             Config.TPU_DFT_LAYOUT,
             Config.TPU_VIEW_LAYOUT,
             Config.TPU_VIEW_KERNEL,
             Config.TPU_VAD_TRAILING_IMPL,
             Config.TPU_STREAM_SAMPLES_DISPATCH,
+            Config.TPU_ENGINE_PITCH,
         )
 
     # Names of the data attributes eligible for env/YAML override: every

@@ -234,6 +234,12 @@ class FeaturePipeline:
         self._block_packed_jit = jax.jit(self._process_block_packed_impl)
         self._signal_masked_jit = jax.jit(self._process_signal_masked_impl)
         self._signal_packed_jit = jax.jit(self._process_signal_packed_impl)
+        self._block_packed_pitch_jit = jax.jit(
+            self._process_block_packed_pitch_impl
+        )
+        self._signal_packed_pitch_jit = jax.jit(
+            self._process_signal_packed_pitch_impl
+        )
         # fused features+VAD+pitch programs are per pitch band (fmin/fmax
         # set static lag-band geometry), so they cannot be built here; the
         # dicts + lock keep the builds race-free and the inventory auditable
@@ -479,6 +485,114 @@ class FeaturePipeline:
             vad_adaptive=p[:, 4].astype(np.int32),
             mfcc=p[:, self.PACKED_PREFIX_COLS :],
         )
+
+    # -- packed dispatch with a fused pitch track (engine opt-in) ----------
+    # Layout: the frozen prefix + mfcc columns of _pack_block, then two
+    # appended columns [f0, confidence] — append-only so the prefix layout
+    # can never drift between the plain and pitch-enabled packed programs.
+
+    def _pack_block_pitch(self, block: FeatureBlock, f0, conf) -> jnp.ndarray:
+        return jnp.concatenate(
+            [self._pack_block(block), f0[:, None], conf[:, None]], axis=1
+        )
+
+    def _gated_frames_pitch(self, frames_raw, gate_vad, min_conf):
+        """Shared fused-pitch tail of both packed-pitch programs: the
+        frames-path matmul-ACF track with the traced-threshold gate — the
+        SAME contract as the serving stream (``_block_pitch_jit``), so the
+        engine and ``/v1/stream?pitch=1`` report identical F0 decisions."""
+        from .pitch import pitch_track_gated
+
+        c = self.cfg
+        return pitch_track_gated(
+            frames_raw, gate_vad, min_conf,
+            sample_rate=c.sample_rate, acf_impl="dft",
+        )
+
+    def _process_block_packed_pitch_impl(
+        self, frames_raw, packed_state, n_valid, min_conf
+    ):
+        c = self.cfg
+        state = vad_ops.unpack_state(packed_state, c.history_len)
+        valid = jnp.arange(frames_raw.shape[0], dtype=jnp.int32) < n_valid
+        block, new_state = self._process_block_impl(frames_raw, state, valid)
+        gate_vad = jnp.where(valid, block.vad, 0)
+        f0, conf = self._gated_frames_pitch(frames_raw, gate_vad, min_conf)
+        return self._pack_block_pitch(block, f0, conf), vad_ops.pack_state(
+            new_state
+        )
+
+    def process_block_packed_pitch(
+        self, frames_raw, packed_state, n_valid: int, min_confidence: float
+    ):
+        """:meth:`process_block_packed` plus the fused VAD-gated pitch track:
+        one ``(F, 7+num_ceps)`` block out, still exactly three buffers per
+        dispatch. Feature columns are bit-identical to the plain packed
+        program's (tests/test_engine_pitch.py); split with
+        :meth:`split_packed_block_pitch`."""
+        return self._block_packed_pitch_jit(
+            jnp.asarray(frames_raw, dtype=jnp.float32),
+            packed_state,
+            jnp.int32(n_valid),
+            jnp.float32(min_confidence),
+        )
+
+    def _process_signal_packed_pitch_impl(
+        self, samples, packed_state, true_len, min_conf
+    ):
+        c = self.cfg
+        state = vad_ops.unpack_state(packed_state, c.history_len)
+        x = samples.astype(jnp.float32)
+        length = int(samples.shape[0])
+        n = 1 + (length - c.frame_size) // c.hop_size
+        true_n = jnp.where(
+            true_len >= c.frame_size,
+            1 + (true_len - c.frame_size) // c.hop_size,
+            0,
+        ).astype(jnp.int32)
+        block, new_state = self._process_signal_view_impl(
+            x, state, n, true_n=true_n
+        )
+        # pitch needs the (F, frame) matrix: materialize it ON DEVICE (the
+        # host still ships only int16 samples — the transfer win of the
+        # samples layout is untouched; the frame matrix lives and dies in
+        # HBM, bounded by the bucket size)
+        frames = self._device_stream_frames(x)
+        valid = jnp.arange(n, dtype=jnp.int32) < true_n
+        gate_vad = jnp.where(valid, block.vad, 0)
+        f0, conf = self._gated_frames_pitch(frames, gate_vad, min_conf)
+        return self._pack_block_pitch(block, f0, conf), vad_ops.pack_state(
+            new_state
+        )
+
+    def process_signal_packed_pitch(
+        self, samples, packed_state, true_len: int, min_confidence: float
+    ):
+        """:meth:`process_signal_packed` plus the fused VAD-gated pitch
+        track (same three-buffer I/O; the frame matrix pitch needs is built
+        on device, so the host->device payload stays int16 samples)."""
+        return self._signal_packed_pitch_jit(
+            jnp.asarray(samples, dtype=jnp.int16),
+            packed_state,
+            jnp.int32(true_len),
+            jnp.float32(min_confidence),
+        )
+
+    def split_packed_block_pitch(
+        self, packed_host: np.ndarray, n: int
+    ) -> tuple[FeatureBlock, np.ndarray, np.ndarray]:
+        """Host-side split of a pitch-enabled packed block: the FeatureBlock
+        plus the two appended columns ``(f0, confidence)``."""
+        p = np.asarray(packed_host)[:n]
+        block = FeatureBlock(
+            energy=p[:, 0],
+            zcr=p[:, 1],
+            entropy=p[:, 2],
+            vad=p[:, 3].astype(np.int32),
+            vad_adaptive=p[:, 4].astype(np.int32),
+            mfcc=p[:, self.PACKED_PREFIX_COLS : -2],
+        )
+        return block, p[:, -2], p[:, -1]
 
     def _device_stream_frames(self, signal: jnp.ndarray) -> jnp.ndarray:
         """Streaming-style framing ON DEVICE: only full frames, no padding

@@ -123,6 +123,14 @@ class AudioRuntime:
         self.processed_data: deque[dict] = deque(
             maxlen=Config.PROCESSED_DATA_BUFFER_SIZE
         )
+        # opt-in real-time pitch (TPU_ENGINE_PITCH): (f0, confidence) per
+        # frame, same retention as processed_data. A SEPARATE deque so the
+        # reference-parity frame dicts and the frozen save_data npz schema
+        # stay untouched; always appended under the same lock acquisition as
+        # processed_data, so the two are index-aligned.
+        self.pitch_data: deque[tuple] = deque(
+            maxlen=Config.PROCESSED_DATA_BUFFER_SIZE
+        )
         # host-side mirrors of the adaptive-VAD history (API parity; the
         # authoritative copy lives in the device VadState)
         hist_len = int(getattr(Config, "VAD_HISTORY_LEN", 256))
@@ -165,6 +173,23 @@ class AudioRuntime:
         self._low_latency = _parse_flag(
             getattr(Config, "TPU_LOW_LATENCY", 0), False, "TPU_LOW_LATENCY"
         )
+        # Opt-in fused real-time pitch: dispatch the pitch-enabled packed
+        # programs (two extra block columns, same single device call and
+        # three-buffer I/O per block). Feature outputs are bit-identical to
+        # the plain programs' (tests/test_engine_pitch.py).
+        self._pitch_enabled = _parse_flag(
+            getattr(Config, "TPU_ENGINE_PITCH", 0), False, "TPU_ENGINE_PITCH"
+        )
+        try:
+            self._pitch_min_conf = float(
+                getattr(Config, "TPU_ENGINE_PITCH_MIN_CONF", 0.3)
+            )
+        except (TypeError, ValueError):
+            logger.warning(
+                "unparseable TPU_ENGINE_PITCH_MIN_CONF=%r; using 0.3",
+                Config.TPU_ENGINE_PITCH_MIN_CONF,
+            )
+            self._pitch_min_conf = 0.3
         if self._low_latency and self._buckets[0] > 8:
             self._buckets = (8,) + self._buckets
         # Samples dispatch (default): ship raw int16 samples and frame ON
@@ -242,6 +267,7 @@ class AudioRuntime:
             self._pending.clear()
             self._pending_samples = 0
             self.processed_data.clear()
+            self.pitch_data.clear()
             self.energy_history.clear()
             self.zcr_history.clear()
             self.audio_display_buffer.clear()
@@ -403,9 +429,16 @@ class AudioRuntime:
         bucket = self._bucket_for(n)
         if bucket != n:
             frames = np.pad(frames, ((0, bucket - n), (0, 0)))
-        out, self._vad_state_packed = self.pipeline.process_block_packed(
-            frames, self._vad_state_packed, n
-        )
+        if self._pitch_enabled:
+            out, self._vad_state_packed = (
+                self.pipeline.process_block_packed_pitch(
+                    frames, self._vad_state_packed, n, self._pitch_min_conf
+                )
+            )
+        else:
+            out, self._vad_state_packed = self.pipeline.process_block_packed(
+                frames, self._vad_state_packed, n
+            )
         self.dispatch_count += 1
         return out, n
 
@@ -420,9 +453,17 @@ class AudioRuntime:
         true_len = len(samples)
         if blen != true_len:
             samples = np.pad(samples, (0, blen - true_len))
-        out, self._vad_state_packed = self.pipeline.process_signal_packed(
-            samples, self._vad_state_packed, true_len
-        )
+        if self._pitch_enabled:
+            out, self._vad_state_packed = (
+                self.pipeline.process_signal_packed_pitch(
+                    samples, self._vad_state_packed, true_len,
+                    self._pitch_min_conf,
+                )
+            )
+        else:
+            out, self._vad_state_packed = self.pipeline.process_signal_packed(
+                samples, self._vad_state_packed, true_len
+            )
         self.dispatch_count += 1
         return out, n
 
@@ -436,7 +477,13 @@ class AudioRuntime:
         import jax
 
         out, n = inflight
-        host = self.pipeline.split_packed_block(jax.device_get(out), n)
+        if self._pitch_enabled:
+            host, f0, conf = self.pipeline.split_packed_block_pitch(
+                jax.device_get(out), n
+            )
+        else:
+            host = self.pipeline.split_packed_block(jax.device_get(out), n)
+            f0 = conf = None
         energy = host.energy
         zcr = host.zcr
         entropy = host.entropy
@@ -458,6 +505,8 @@ class AudioRuntime:
                         "mfcc": mfcc[i].tolist(),
                     }
                 )
+                if f0 is not None:
+                    self.pitch_data.append((float(f0[i]), float(conf[i])))
 
     def _process_loop(self) -> None:
         carry = np.zeros((0,), dtype=np.int16)
@@ -577,6 +626,22 @@ class AudioRuntime:
             zcrs = zcrs[-max_display:]
             vads = vads[-max_display:]
         return np.array(energies), np.array(zcrs), np.array(vads)
+
+    def get_recent_pitch(self, max_display=None):
+        """Last ``max_display`` frames as ``(f0, confidence)`` arrays —
+        empty when ``TPU_ENGINE_PITCH`` is off. Index-aligned with
+        :meth:`get_recent_processed` over the shared retention window
+        (both deques are appended under one lock acquisition)."""
+        if max_display is None:
+            max_display = Config.MAX_DISPLAY_FRAMES
+        with self.lock:
+            if not self.pitch_data:
+                return np.array([]), np.array([])
+            rows = list(self.pitch_data)
+        if len(rows) > max_display:
+            rows = rows[-max_display:]
+        f0, conf = zip(*rows)
+        return np.array(f0), np.array(conf)
 
     def save_data(self, directory=None) -> str:
         """Write the 8-key ``.npz`` export; returns the file path.

@@ -83,14 +83,20 @@ class HeadlessVisualizer:
                 logger.warning("snapshot failed (%s): %s", type(e).__name__, e)
 
     def render_png(self, path: str) -> str:
-        """Render the 4 stacked plots to a PNG and return the path."""
+        """Render the stacked plots to a PNG and return the path — the
+        reference's 4 panels, plus a fifth F0 panel when the runtime has a
+        real-time pitch track (``Config.TPU_ENGINE_PITCH``)."""
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
         m = self.model
-        fig, axes = plt.subplots(4, 1, figsize=(10, 9), sharex=False)
+        with_pitch = m.f0.size > 0
+        rows = 5 if with_pitch else 4
+        fig, axes = plt.subplots(
+            rows, 1, figsize=(10, 9 if rows == 4 else 11), sharex=False
+        )
         fig.suptitle(self.title)
 
         axes[0].plot(m.waveform, lw=0.5, color="#4fc3f7")
@@ -110,7 +116,15 @@ class HeadlessVisualizer:
                                  step="mid", color="#e57373", alpha=0.7)
         axes[3].set_ylabel("vad")
         axes[3].set_ylim(*m.ranges["vad"])
-        axes[3].set_xlabel("frame")
+
+        if with_pitch:
+            f0 = np.where(m.f0 > 0, m.f0, np.nan)  # gaps where unvoiced
+            axes[4].plot(f0, ".-", ms=3, lw=0.8, color="#ba68c8")
+            axes[4].set_ylabel("f0 (Hz)")
+            voiced = m.f0[m.f0 > 0]
+            top = float(np.max(voiced)) * 1.2 if voiced.size else 400.0
+            axes[4].set_ylim(0.0, max(top, 50.0))
+        axes[rows - 1].set_xlabel("frame")
 
         fig.tight_layout()
         fig.savefig(path, dpi=100)

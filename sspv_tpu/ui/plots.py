@@ -71,6 +71,11 @@ class PlotModel:
         self.energies = np.array([])
         self.zcrs = np.array([])
         self.vads = np.array([])
+        # optional real-time F0 series (engines with TPU_ENGINE_PITCH on);
+        # empty on runtimes without a pitch track — backends render it only
+        # when data is present, so the reference's 4-plot layout is the
+        # default and pitch is an additive fifth panel
+        self.f0 = np.array([])
         self.ranges = dict(_INITIAL_RANGES)
         self._auto_range = True
 
@@ -92,6 +97,9 @@ class PlotModel:
     def poll(self) -> None:
         self.waveform = self.runtime.get_recent_audio()
         self.energies, self.zcrs, self.vads = self.runtime.get_recent_processed()
+        get_pitch = getattr(self.runtime, "get_recent_pitch", None)
+        if get_pitch is not None:
+            self.f0 = np.asarray(get_pitch()[0])
         if self.auto_range:
             self.ranges = {
                 "waveform": self.trackers["waveform"].update(self.waveform),
@@ -106,12 +114,16 @@ class PlotModel:
         if self.energies.size == 0:
             return "no data"
         voiced_pct = float(np.mean(self.vads == 1)) * 100 if self.vads.size else 0.0
-        return (
+        line = (
             f"frames={self.energies.size} "
             f"mean_energy={float(np.mean(self.energies)):.3e} "
             f"mean_zcr={float(np.mean(self.zcrs)):.3f} "
             f"voiced={voiced_pct:.1f}%"
         )
+        voiced_f0 = self.f0[self.f0 > 0]
+        if voiced_f0.size:
+            line += f" f0={float(np.median(voiced_f0)):.1f}Hz"
+        return line
 
     def progress(self) -> str:
         """Playlist progress (reads _paths/_index like the reference,
