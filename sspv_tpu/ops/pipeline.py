@@ -392,13 +392,23 @@ class FeaturePipeline:
             axis=1,
         )
 
-    def _process_block_packed_impl(
-        self, frames_raw: jnp.ndarray, packed_state: jnp.ndarray, n_valid: jnp.ndarray
-    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def _packed_block_core(self, frames_raw, packed_state, n_valid):
+        """Traced prologue shared by the plain and pitch-enabled packed
+        block programs (one copy keeps their feature paths in lockstep):
+        unpack state, build the valid mask, run the block pipeline.
+        Returns ``(block, new_state, valid)``."""
         c = self.cfg
         state = vad_ops.unpack_state(packed_state, c.history_len)
         valid = jnp.arange(frames_raw.shape[0], dtype=jnp.int32) < n_valid
         block, new_state = self._process_block_impl(frames_raw, state, valid)
+        return block, new_state, valid
+
+    def _process_block_packed_impl(
+        self, frames_raw: jnp.ndarray, packed_state: jnp.ndarray, n_valid: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        block, new_state, _ = self._packed_block_core(
+            frames_raw, packed_state, n_valid
+        )
         return self._pack_block(block), vad_ops.pack_state(new_state)
 
     def process_block_packed(
@@ -438,6 +448,15 @@ class FeaturePipeline:
         the leak mitigation. ``true_len`` (traced scalar) is the un-padded
         sample count; frames beyond it are masked out of the carried state.
         """
+        block, new_state, _x, _n, _true_n = self._packed_signal_core(
+            samples, packed_state, true_len
+        )
+        return self._pack_block(block), vad_ops.pack_state(new_state)
+
+    def _packed_signal_core(self, samples, packed_state, true_len):
+        """Traced prologue shared by the plain and pitch-enabled packed
+        samples programs (one copy keeps their framing/masking arithmetic
+        in lockstep). Returns ``(block, new_state, x, n, true_n)``."""
         c = self.cfg
         state = vad_ops.unpack_state(packed_state, c.history_len)
         x = samples.astype(jnp.float32)
@@ -451,7 +470,7 @@ class FeaturePipeline:
         block, new_state = self._process_signal_view_impl(
             x, state, n, true_n=true_n
         )
-        return self._pack_block(block), vad_ops.pack_state(new_state)
+        return block, new_state, x, n, true_n
 
     def process_signal_packed(
         self, samples, packed_state, true_len: int
@@ -512,10 +531,9 @@ class FeaturePipeline:
     def _process_block_packed_pitch_impl(
         self, frames_raw, packed_state, n_valid, min_conf
     ):
-        c = self.cfg
-        state = vad_ops.unpack_state(packed_state, c.history_len)
-        valid = jnp.arange(frames_raw.shape[0], dtype=jnp.int32) < n_valid
-        block, new_state = self._process_block_impl(frames_raw, state, valid)
+        block, new_state, valid = self._packed_block_core(
+            frames_raw, packed_state, n_valid
+        )
         gate_vad = jnp.where(valid, block.vad, 0)
         f0, conf = self._gated_frames_pitch(frames_raw, gate_vad, min_conf)
         return self._pack_block_pitch(block, f0, conf), vad_ops.pack_state(
@@ -540,18 +558,8 @@ class FeaturePipeline:
     def _process_signal_packed_pitch_impl(
         self, samples, packed_state, true_len, min_conf
     ):
-        c = self.cfg
-        state = vad_ops.unpack_state(packed_state, c.history_len)
-        x = samples.astype(jnp.float32)
-        length = int(samples.shape[0])
-        n = 1 + (length - c.frame_size) // c.hop_size
-        true_n = jnp.where(
-            true_len >= c.frame_size,
-            1 + (true_len - c.frame_size) // c.hop_size,
-            0,
-        ).astype(jnp.int32)
-        block, new_state = self._process_signal_view_impl(
-            x, state, n, true_n=true_n
+        block, new_state, x, n, true_n = self._packed_signal_core(
+            samples, packed_state, true_len
         )
         # pitch needs the (F, frame) matrix: materialize it ON DEVICE (the
         # host still ships only int16 samples — the transfer win of the
@@ -983,9 +991,7 @@ class FeaturePipeline:
             block, new_state = self._process_block_impl(
                 frames_raw, state, valid
             )
-            gate_vad = (
-                block.vad if valid is None else jnp.where(valid, block.vad, 0)
-            )
+            gate_vad = jnp.where(valid, block.vad, 0)
             f0, conf = pitch_track_gated(
                 frames_raw, gate_vad, min_conf,
                 sample_rate=c.sample_rate, fmin=key[0], fmax=key[1],
@@ -1015,46 +1021,26 @@ class FeaturePipeline:
         ``(FeatureBlock, f0, conf)`` per completed frame block, all three
         sliced to the block's true frame count, computed in ONE fused device
         dispatch per block. The blocks are bit-identical to :meth:`stream`'s
-        and the concatenated ``f0`` bit-matches the offline frames-path
-        track on the same signal (tests/test_stream_pitch.py)."""
-        import jax.numpy as jnp_
-
-        c = self.cfg
-        if buckets is None:
-            from ..config import Config, parse_buckets
-
-            buckets = parse_buckets(
-                getattr(Config, "TPU_STREAM_BUCKETS", (32, 256, 2048))
-            )
-        if state is None:
-            state = self.initial_state()
+        (the two generators share ``_stream_core``) and the concatenated
+        ``f0`` bit-matches the offline frames-path track on the same signal
+        (tests/test_stream_pitch.py)."""
         fn = self._block_pitch_jit(fmin, fmax)
         mc = np.float32(min_confidence)
-        carry = np.zeros((0,), dtype=np.float32)
-        top = buckets[-1]
-        for chunk in chunks:
-            chunk = np.asarray(chunk)
-            carry = np.concatenate([carry, chunk.astype(np.float32)])
-            frames = self.stream_frames(carry)
-            n = frames.shape[0]
-            if n == 0:
-                continue
-            carry = carry[n * c.hop_size :]
-            for lo in range(0, n, top):
-                part = frames[lo : lo + top]
-                m = part.shape[0]
-                bucket = next((b for b in buckets if m <= b), top)
-                if bucket != m:
-                    part = np.pad(part, ((0, bucket - m), (0, 0)))
-                valid = jnp_.asarray(np.arange(bucket) < m)
-                block, state, f0, conf = fn(
-                    jnp_.asarray(part, dtype=jnp_.float32), state, valid, mc
-                )
-                yield (
-                    FeatureBlock(*(x[:m] for x in block)),
-                    np.asarray(f0)[:m],
-                    np.asarray(conf)[:m],
-                )
+
+        def dispatch(part, st, valid):
+            block, new_state, f0, conf = fn(
+                jnp.asarray(part, dtype=jnp.float32), st, valid, mc
+            )
+            return new_state, (block, f0, conf)
+
+        for m, (block, f0, conf) in self._stream_core(
+            chunks, state, buckets, dispatch
+        ):
+            yield (
+                FeatureBlock(*(x[:m] for x in block)),
+                np.asarray(f0)[:m],
+                np.asarray(conf)[:m],
+            )
 
     def process_signal_pitch_auto(
         self,
@@ -1202,6 +1188,20 @@ class FeaturePipeline:
         >>> for block in pipe.stream(wav_chunks):
         ...     consume(np.asarray(block.vad))
         """
+        def dispatch(part, st, valid):
+            block, new_state = self.process_block(part, st, valid=valid)
+            return new_state, (block,)
+
+        for m, (block,) in self._stream_core(chunks, state, buckets, dispatch):
+            yield FeatureBlock(*(x[:m] for x in block))
+
+    def _stream_core(self, chunks, state, buckets, dispatch):
+        """Shared carry/framing/bucket-padding loop of :meth:`stream` and
+        :meth:`stream_pitch` — ONE copy, because the two generators are
+        contractually bit-identical on the feature path
+        (tests/test_stream_pitch.py) and a bucketing change applied to only
+        one would silently break that. ``dispatch(part, state, valid) ->
+        (new_state, outputs)``; yields ``(true_m, outputs)``."""
         import jax.numpy as jnp_  # local alias to keep the generator lazy
 
         c = self.cfg
@@ -1230,8 +1230,8 @@ class FeaturePipeline:
                 if bucket != m:
                     part = np.pad(part, ((0, bucket - m), (0, 0)))
                 valid = jnp_.asarray(np.arange(bucket) < m)
-                block, state = self.process_block(part, state, valid=valid)
-                yield FeatureBlock(*(x[:m] for x in block))
+                state, outputs = dispatch(part, state, valid)
+                yield m, outputs
 
     def process_signal(
         self, signal, state: vad_ops.VadState | None = None, pad_tail: bool = False

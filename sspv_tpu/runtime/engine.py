@@ -629,19 +629,46 @@ class AudioRuntime:
 
     def get_recent_pitch(self, max_display=None):
         """Last ``max_display`` frames as ``(f0, confidence)`` arrays —
-        empty when ``TPU_ENGINE_PITCH`` is off. Index-aligned with
-        :meth:`get_recent_processed` over the shared retention window
-        (both deques are appended under one lock acquisition)."""
+        empty when ``TPU_ENGINE_PITCH`` is off. Both deques are appended
+        under one lock acquisition, but two separate accessor calls can
+        straddle a block append — use :meth:`get_recent_display` when the
+        pitch series must align with the feature series."""
         if max_display is None:
             max_display = Config.MAX_DISPLAY_FRAMES
         with self.lock:
-            if not self.pitch_data:
-                return np.array([]), np.array([])
             rows = list(self.pitch_data)
+        return self._pitch_rows_to_arrays(rows, max_display)
+
+    @staticmethod
+    def _pitch_rows_to_arrays(rows, max_display):
+        if not rows:
+            return np.array([]), np.array([])
         if len(rows) > max_display:
             rows = rows[-max_display:]
         f0, conf = zip(*rows)
         return np.array(f0), np.array(conf)
+
+    def get_recent_display(self, max_display=None):
+        """One aligned snapshot for display polls:
+        ``(energies, zcrs, vads, f0)`` taken under a SINGLE lock
+        acquisition — separate ``get_recent_processed`` +
+        ``get_recent_pitch`` calls can straddle a block materialization and
+        shift the pitch panel against the others. ``f0`` is empty when
+        pitch is off."""
+        if max_display is None:
+            max_display = Config.MAX_DISPLAY_FRAMES
+        with self.lock:
+            rows = list(self.processed_data)
+            pitch_rows = list(self.pitch_data)
+        if len(rows) > max_display:
+            rows = rows[-max_display:]
+        f0, _conf = self._pitch_rows_to_arrays(pitch_rows, max_display)
+        return (
+            np.array([d["energy"] for d in rows]),
+            np.array([d["zcr"] for d in rows]),
+            np.array([d["vad"] for d in rows]),
+            f0,
+        )
 
     def save_data(self, directory=None) -> str:
         """Write the 8-key ``.npz`` export; returns the file path.

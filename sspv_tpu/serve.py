@@ -640,8 +640,10 @@ class _Handler(BaseHTTPRequestHandler):
         want_pitch = query.get("pitch", ["0"])[0] not in ("0", "false", "")
         try:
             min_conf = float(query.get("min_confidence", ["0.3"])[0])
+            if not np.isfinite(min_conf):  # nan gates every frame to f0=0
+                raise ValueError  # silently; same 400 as /v1/pitch
         except ValueError:
-            self._reply_error(400, "min_confidence must be a float")
+            self._reply_error(400, "min_confidence must be a finite float")
             return
 
         # Coalesce tiny client chunks before dispatch: one device call per

@@ -96,10 +96,16 @@ class PlotModel:
 
     def poll(self) -> None:
         self.waveform = self.runtime.get_recent_audio()
-        self.energies, self.zcrs, self.vads = self.runtime.get_recent_processed()
-        get_pitch = getattr(self.runtime, "get_recent_pitch", None)
-        if get_pitch is not None:
-            self.f0 = np.asarray(get_pitch()[0])
+        # one aligned snapshot when the runtime offers it (AudioRuntime):
+        # separate accessor calls can straddle a live block append and
+        # shift the F0 panel against the feature panels
+        get_display = getattr(self.runtime, "get_recent_display", None)
+        if get_display is not None:
+            self.energies, self.zcrs, self.vads, self.f0 = get_display()
+        else:
+            self.energies, self.zcrs, self.vads = (
+                self.runtime.get_recent_processed()
+            )
         if self.auto_range:
             self.ranges = {
                 "waveform": self.trackers["waveform"].update(self.waveform),

@@ -330,6 +330,23 @@ def test_http_pitch_nan_min_confidence_alone_is_400(server):
     assert status == 400
 
 
+def test_http_stream_nan_min_confidence_is_400(server):
+    """nan parses as a float but gates every frame to f0=0 — reject like
+    /v1/pitch does instead of streaming silently-broken output."""
+    samples, _ = _tone_i16(0.3)
+    for bad in ("nan", "inf", "abc"):
+        try:
+            status, _, _ = _post(
+                server, f"/v1/stream?pitch=1&min_confidence={bad}",
+                samples.tobytes(),
+                content_type="application/octet-stream",
+                headers={"X-Sample-Rate": str(Config.SAMPLE_RATE)},
+            )
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 400, bad
+
+
 def test_http_stream_empty_body_is_400_not_inband(server):
     try:
         status, _, _ = _post(

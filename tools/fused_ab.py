@@ -91,9 +91,10 @@ def main(argv):
     # streaming: one engine-bucket block with and without the fused pitch
     from sspv_tpu.config import Config, parse_buckets
 
-    bucket = parse_buckets(
+    stream_buckets = parse_buckets(
         getattr(Config, "TPU_STREAM_BUCKETS", (32, 256, 2048))
-    )[1]
+    )
+    bucket = stream_buckets[min(1, len(stream_buckets) - 1)]
     n = (bucket - 1) * pipe.cfg.hop_size + pipe.cfg.frame_size
     chunk = (synth_signal(n / sr) * 0.25).astype(np.int16)[:n]
 
