@@ -76,6 +76,24 @@ def test_stream_pitch_matches_stream_and_offline_track():
         assert v.size and abs(np.median(v) - 135) < 10
 
 
+def test_stream_pitch_random_chunking_fuzz():
+    """Random chunk-size sequences (the space the fixed cases can't cover):
+    the F0 decision stream must be invariant to how the audio arrives."""
+    pipe = FeaturePipeline(FeatureConfig())
+    sig = _speechy(2.0, seed=11)
+    want = None
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        sizes = rng.integers(150, 9000, size=24).tolist()
+        fused = list(pipe.stream_pitch(iter(_chunk(sig, sizes))))
+        f0 = np.concatenate([f for _, f, _ in fused])
+        vad = np.concatenate([np.asarray(b.vad) for b, _, _ in fused])
+        if want is None:
+            frames = pipe.stream_frames(sig)[: vad.shape[0]]
+            want = np.asarray(pitch_track(frames, vad, acf_impl="dft")[0])
+        np.testing.assert_array_equal(f0, want[: f0.shape[0]], err_msg=str(seed))
+
+
 def test_stream_pitch_band_and_threshold():
     """Non-default band + strict threshold: traced threshold must gate
     identically to the offline track's static one; the band key compiles a
