@@ -2,7 +2,9 @@
 """Qt/pyqtgraph visualization backend (interactive GUI).
 
 Functional equivalent of the reference GUI (ui/visualization.py): four
-stacked live plots (waveform, short-time energy, ZCR, VAD), a settings group
+stacked live plots (waveform, short-time energy, ZCR, VAD; a fifth F0 panel
+appears lazily when the runtime streams pitch data — ``TPU_ENGINE_PITCH``,
+mirroring the headless backend's conditional panel), a settings group
 for source selection (microphone / auto-scan of the default audio directory /
 custom file-or-directory path, test-all vs test-one), auto-stop-on-EOF and
 auto-range toggles, start/stop/save controls with status + playlist progress
@@ -101,7 +103,19 @@ class QtVisualizer:
                 curve = p.plot(pen=pg.mkPen(color, width=1))
             self.curves[key] = curve
             self.plots[key] = p
+        self._glw = glw
         return glw
+
+    def _add_pitch_plot(self):
+        """Lazily add the fifth F0 panel the first time pitch data appears
+        (runtimes with ``TPU_ENGINE_PITCH`` on) — the default 4-panel layout
+        stays reference-identical for every other runtime. Unvoiced frames
+        plot at 0 Hz (the track's own convention), so no NaN-gap plumbing
+        is needed on the Qt side."""
+        p = self._glw.addPlot(row=4, col=0, title="Pitch (F0, Hz)")
+        p.showGrid(x=True, y=True, alpha=0.2)
+        self.curves["f0"] = p.plot(pen=self.pg.mkPen("#ba68c8", width=1))
+        self.plots["f0"] = p
 
     def _build_settings(self):
         QtWidgets = self.QtWidgets
@@ -275,11 +289,20 @@ class QtVisualizer:
         # always set (x of len N+1 satisfies the stepMode contract for N==0
         # too): a cleared session must clear the VAD trace like the others
         self.curves["vad"].setData(np.arange(m.vads.size + 1), m.vads)
+        if m.f0.size and "f0" not in self.curves:
+            self._add_pitch_plot()
+        if "f0" in self.curves:
+            self.curves["f0"].setData(m.f0)
         if m.auto_range:
             # only drive ranges while auto-range is on — forcing setYRange
             # every tick with the frozen ranges would fight the user's
             # manual zoom/pan the moment they uncheck the box
             for key, plot in self.plots.items():
+                if key == "f0":
+                    voiced = m.f0[m.f0 > 0]
+                    top = float(np.max(voiced)) * 1.2 if voiced.size else 400.0
+                    plot.setYRange(0.0, max(top, 50.0), padding=0)
+                    continue
                 lo, hi = m.ranges[key]
                 plot.setYRange(lo, hi, padding=0)
         self.progress_label.setText(m.progress())

@@ -280,3 +280,47 @@ def test_visualization_ui_falls_back_when_qt_constructor_fails(qtvis,
     from sspv_tpu.ui.headless import HeadlessVisualizer
 
     assert isinstance(v._impl, HeadlessVisualizer)
+
+
+def test_qt_pitch_panel_appears_only_with_pitch_data(qtvis, monkeypatch):
+    """With TPU_ENGINE_PITCH on, the first _update carrying F0 data lazily
+    adds the fifth panel and feeds it; without pitch the reference 4-panel
+    layout never changes (mirrors the headless backend's conditional fifth
+    panel)."""
+    monkeypatch.setattr(Config, "TPU_ENGINE_PITCH", True)
+    sr = Config.SAMPLE_RATE
+    t = np.arange(int(0.4 * sr)) / sr
+    sig = (9000 * np.sin(2 * np.pi * 150 * t)).astype(np.int16)
+    rt = AudioRuntime(audio_source=DummyAudioSource(signal=sig))
+    rt.auto_stop_on_eof = True
+    ui = qtvis.QtVisualizer(rt, title="pitch session")
+    assert set(ui.curves) == {"waveform", "energy", "zcr", "vad"}
+
+    rt.start()
+    deadline = time.time() + 60
+    while time.time() < deadline and rt.is_running:
+        time.sleep(0.01)
+    rt.stop()
+    assert rt.last_error is None
+    ui.timer.timeout.emit()  # one poll over the finished session
+
+    assert "f0" in ui.curves and "f0" in ui.plots
+    f0 = np.asarray(ui.curves["f0"].y)
+    assert f0.size and (f0 > 0).any()
+    v = f0[f0 > 0]
+    assert abs(float(np.median(v)) - 150) < 10
+    # auto-range drove the pitch panel's own scale (0-floored)
+    assert ui.plots["f0"].y_range[0] == 0.0
+
+    # a pitch-off runtime keeps the 4-panel layout across polls
+    monkeypatch.setattr(Config, "TPU_ENGINE_PITCH", False)
+    rt2 = AudioRuntime(audio_source=DummyAudioSource(signal=sig))
+    rt2.auto_stop_on_eof = True
+    ui2 = qtvis.QtVisualizer(rt2, title="plain session")
+    rt2.start()
+    deadline = time.time() + 60
+    while time.time() < deadline and rt2.is_running:
+        time.sleep(0.01)
+    rt2.stop()
+    ui2.timer.timeout.emit()
+    assert set(ui2.curves) == {"waveform", "energy", "zcr", "vad"}
