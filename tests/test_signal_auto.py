@@ -181,3 +181,33 @@ def test_fused_pitch_auto_matches_two_call_path():
             )
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_fused_pitch_auto_oversized_quantized_matches_two_call():
+    """Signals beyond the largest bucket take the quantized-program route;
+    the fused dispatch must follow the exact same quantization and stay
+    bit-identical to the two-call path there too (the batch CLI feeds huge
+    files through this branch). Buckets shrunk so the case runs on CPU."""
+    import numpy as np
+
+    from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
+
+    pipe = FeaturePipeline(FeatureConfig())
+    pipe.SIGNAL_BUCKET_SECONDS = (2, 4)  # 11 s input -> oversized -> 12 s
+    sr = 16000
+    t = np.arange(11 * sr) / sr
+    sig = (
+        5000 * np.sin(2 * np.pi * 125 * t) * (((t).astype(int) % 2) == 0)
+    ).astype(np.int16)
+
+    b2, _ = pipe.process_signal_auto(sig)
+    f2, c2 = pipe.pitch_signal_auto(sig, np.asarray(b2.vad))
+    b1, _, f1, c1 = pipe.process_signal_pitch_auto(sig)
+    for k in ("energy", "zcr", "entropy", "mfcc", "vad", "vad_adaptive"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(b1, k)), np.asarray(getattr(b2, k)), err_msg=k
+        )
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    n = 1 + (len(sig) - 320) // 160
+    assert np.asarray(f1).shape == (n,)
