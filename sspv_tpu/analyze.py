@@ -50,7 +50,7 @@ def analyze_file(path: str, png: str | None = None, npz: str | None = None) -> d
     sl = {
         "energy": energy, "zcr": zcr, "entropy": entropy, "vad": vad,
         "vad_adaptive": np.asarray(block.vad_adaptive), "mfcc": mfcc,
-        "f0": f0,
+        "f0": f0, "pitch_confidence": conf,
     }
     summary = summarize_features(path, len(pcm), sl, Config.SAMPLE_RATE)
 

@@ -53,6 +53,13 @@ def export_features_npz(
     extra = {}
     if "f0" in sl:
         extra["f0"] = np.asarray(sl["f0"], np.float32)
+    if "pitch_confidence" in sl:
+        # additive optional key (readers of the f0-only schema are
+        # unaffected): the normalized-ACF peak value the HTTP API already
+        # reports alongside f0
+        extra["pitch_confidence"] = np.asarray(
+            sl["pitch_confidence"], np.float32
+        )
     np.savez(
         npz_path,
         energies=np.asarray(sl["energy"], np.float64),

@@ -35,4 +35,6 @@ def test_analyze_file_outputs(tmp_path):
     with np.load(npz) as d:
         assert d["mfcc"].shape == (199, 13)
         assert d["f0"].shape == (199,)
+        assert d["pitch_confidence"].shape == (199,)
+        assert d["pitch_confidence"].dtype == np.float32
         assert d["vads"].dtype == np.int32

@@ -74,6 +74,7 @@ def test_process_corpus_matches_single_file_path(tmp_path):
                 atol=1e-3, rtol=1e-4,
             )
             assert z["f0"].shape == vad.shape
+            assert z["pitch_confidence"].shape == vad.shape
 
 
 def test_process_corpus_pitch_tracks_tones(tmp_path):
