@@ -116,3 +116,30 @@ def test_stream_pitch_band_and_threshold():
     )
     assert (90.0, 250.0) in pipe._block_pitch_jits
     assert (50.0, 400.0) not in pipe._block_pitch_jits
+
+
+def test_stream_pitch_tracks_a_chirp():
+    """A 100->280 Hz glissando: the streamed F0 track must follow the
+    instantaneous frequency within ACF lag-bin resolution (~coarse at the
+    top of the band: bin spacing grows with f^2/sr), frame by frame."""
+    sr = 16000
+    secs = 2.0
+    t = np.arange(int(secs * sr)) / sr
+    f_inst = 100 + (280 - 100) * (t / secs)
+    phase = 2 * np.pi * np.cumsum(f_inst) / sr
+    sig = (9000 * np.sin(phase)).astype(np.float32)
+
+    pipe = FeaturePipeline(FeatureConfig())
+    fused = list(pipe.stream_pitch(iter([sig[:16000], sig[16000:]])))
+    f0 = np.concatenate([f for _, f, _ in fused])
+    centers = 320 / 2 / sr + np.arange(f0.shape[0]) * 160 / sr
+    expect = 100 + (280 - 100) * (centers / secs)
+    voiced = f0 > 0
+    assert voiced.mean() > 0.9  # a loud tone should be voiced throughout
+    # lag-bin quantization: at 280 Hz neighboring lags are ~5 Hz apart;
+    # allow one bin plus the half-frame frequency sweep (~9 Hz)
+    err = np.abs(f0[voiced] - expect[voiced])
+    assert np.percentile(err, 95) < 12.0, float(np.percentile(err, 95))
+    # monotone trend: the track's start and end straddle the sweep
+    assert np.median(f0[voiced][:20]) < 115
+    assert np.median(f0[voiced][-20:]) > 255
