@@ -31,7 +31,14 @@ from .vad import (
     initial_vad_state,
 )
 from .pipeline import FeatureConfig, FeatureBlock, FeaturePipeline
-from .pitch import pitch_from_frames, pitch_track, pitch_track_signal
+from .pitch import (
+    pitch_from_frames,
+    pitch_track,
+    pitch_track_gated,
+    pitch_track_signal,
+    pitch_track_signal_gated,
+    pitch_track_signal_jit,
+)
 
 __all__ = [
     "hamming_window",
@@ -62,5 +69,8 @@ __all__ = [
     "FeaturePipeline",
     "pitch_from_frames",
     "pitch_track",
+    "pitch_track_gated",
     "pitch_track_signal",
+    "pitch_track_signal_gated",
+    "pitch_track_signal_jit",
 ]
