@@ -29,6 +29,11 @@ class SessionData(NamedTuple):
     sample_rate: int
     frame_size: int
     hop_size: int
+    # optional keys of the analyze/batch per-file schema (utils/export.py);
+    # None for engine save_data / reference files, which predate them
+    mfcc: np.ndarray | None = None
+    f0: np.ndarray | None = None
+    pitch_confidence: np.ndarray | None = None
 
     @property
     def num_frames(self) -> int:
@@ -58,6 +63,12 @@ def load_session(path: str) -> SessionData:
             sample_rate=int(data["sample_rate"]),
             frame_size=int(data["frame_size"]),
             hop_size=int(data["hop_size"]),
+            mfcc=np.asarray(data["mfcc"]) if "mfcc" in data.files else None,
+            f0=np.asarray(data["f0"]) if "f0" in data.files else None,
+            pitch_confidence=(
+                np.asarray(data["pitch_confidence"])
+                if "pitch_confidence" in data.files else None
+            ),
         )
 
 
@@ -75,4 +86,10 @@ def validate_session(s: SessionData) -> list[str]:
         problems.append("bad frame geometry")
     if n and not np.all((s.vads == 0) | (s.vads == 1)):
         problems.append("vads not binary")
+    for name in ("f0", "pitch_confidence"):
+        arr = getattr(s, name)
+        if arr is not None and arr.shape != (n,):
+            problems.append(f"{name} shape {arr.shape} != ({n},)")
+    if s.mfcc is not None and (s.mfcc.ndim != 2 or s.mfcc.shape[0] != n):
+        problems.append(f"mfcc shape {s.mfcc.shape} != ({n}, ceps)")
     return problems

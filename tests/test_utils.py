@@ -91,3 +91,31 @@ def test_session_duration_guards_zero_rate():
     )
     assert s.duration_seconds == 0.0  # no ZeroDivisionError
     assert any("sample_rate" in p for p in validate_session(s))
+
+
+def test_load_session_surfaces_analyze_schema_extras(tmp_path):
+    """The analyze/batch per-file schema adds mfcc/f0/pitch_confidence on
+    top of the engine's 8 required keys; load_session must surface them
+    (None for engine/reference files) and validate their shapes."""
+    import numpy as np
+
+    from sspv_tpu.utils.export import export_features_npz
+    from sspv_tpu.utils.npz_io import load_session, validate_session
+
+    n = 42
+    sl = {
+        "energy": np.ones(n), "zcr": np.zeros(n), "entropy": np.zeros(n),
+        "vad": np.ones(n, np.int32), "vad_adaptive": np.zeros(n),
+        "mfcc": np.zeros((n, 13), np.float32),
+        "f0": np.full(n, 120.0, np.float32),
+        "pitch_confidence": np.full(n, 0.5, np.float32),
+    }
+    path = str(tmp_path / "s.npz")
+    export_features_npz(path, sl, 16000, 320, 160)
+    s = load_session(path)
+    assert validate_session(s) == []
+    assert s.f0.shape == s.pitch_confidence.shape == (n,)
+    assert s.mfcc.shape == (n, 13)
+    # shape problems are reported, not crashed on
+    bad = s._replace(f0=np.zeros(n + 3, np.float32))
+    assert any("f0" in p for p in validate_session(bad))
