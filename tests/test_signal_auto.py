@@ -152,6 +152,7 @@ def test_fused_pitch_auto_matches_two_call_path():
     the fused program; parity with the two-call path is its contract.
     Covers int16/float32 input, a bucket-exact length, a sub-frame input
     (fallback path), and a non-default band with a strict threshold."""
+    import jax
     import numpy as np
 
     from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
@@ -172,15 +173,21 @@ def test_fused_pitch_auto_matches_two_call_path():
             * (((t * 2).astype(int) % 2) == 0)
             + rng.normal(0, 300, t.size)
         ).astype(dtype)
-        b2, _ = pipe.process_signal_auto(sig)
+        b2, s2 = pipe.process_signal_auto(sig)
         f2, c2 = pipe.pitch_signal_auto(sig, np.asarray(b2.vad), **kw)
-        b1, _, f1, c1 = pipe.process_signal_pitch_auto(sig, **kw)
+        b1, s1, f1, c1 = pipe.process_signal_pitch_auto(sig, **kw)
         for k in ("energy", "zcr", "entropy", "mfcc", "vad", "vad_adaptive"):
             np.testing.assert_array_equal(
                 np.asarray(getattr(b1, k)), np.asarray(getattr(b2, k))
             )
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        # the carried VadState must match too: resumable offline callers
+        # chain fused and plain calls interchangeably
+        for leaf1, leaf2 in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+            np.testing.assert_array_equal(
+                np.asarray(leaf1), np.asarray(leaf2)
+            )
 
 
 def test_fused_pitch_auto_oversized_quantized_matches_two_call():
