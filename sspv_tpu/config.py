@@ -187,6 +187,15 @@ class Config:
     # Confidence gate for the engine pitch track (normalized-ACF peak value;
     # frames below it report F0=0 even when the VAD says voiced).
     TPU_ENGINE_PITCH_MIN_CONF = 0.3
+    # Route whole-file polyphase resampling through the device
+    # (ops/resample.py: one gather + one MXU matmul, scipy-parity filter)
+    # instead of host SciPy. Opt-in: worthwhile for batch corpus decode of
+    # non-16 kHz files where host FIR time matters; pointless for mic
+    # chunks. Only arrays of at least TPU_DEVICE_RESAMPLE_MIN_SECONDS are
+    # routed, so per-chunk callers never pay a dispatch round-trip. Falls
+    # back to SciPy on any device error.
+    TPU_DEVICE_RESAMPLE = False
+    TPU_DEVICE_RESAMPLE_MIN_SECONDS = 1.0
 
     @staticmethod
     def setup_logging() -> None:
@@ -270,7 +279,7 @@ class Config:
         logging.info(
             "tpu: precision=%s, dft_layout=%s, view_layout=%s, "
             "view_kernel=%d, vad_impl=%s, samples_dispatch=%d, "
-            "engine_pitch=%d",
+            "engine_pitch=%d, device_resample=%d",
             Config.TPU_MATMUL_PRECISION,
             Config.TPU_DFT_LAYOUT,
             Config.TPU_VIEW_LAYOUT,
@@ -278,6 +287,7 @@ class Config:
             Config.TPU_VAD_TRAILING_IMPL,
             Config.TPU_STREAM_SAMPLES_DISPATCH,
             Config.TPU_ENGINE_PITCH,
+            Config.TPU_DEVICE_RESAMPLE,
         )
 
     # Names of the data attributes eligible for env/YAML override: every

@@ -272,9 +272,36 @@ class PlaylistAudioSource(AudioSource):
 
 
 def _resample_to(arr: np.ndarray, src_sr: int, dst_sr: int) -> np.ndarray:
-    """Polyphase resample to ``dst_sr``, clipped back to int16."""
+    """Polyphase resample to ``dst_sr``, clipped back to int16.
+
+    With ``Config.TPU_DEVICE_RESAMPLE`` set, whole-file-sized arrays (at
+    least ``TPU_DEVICE_RESAMPLE_MIN_SECONDS`` of audio) run on the device
+    (ops/resample.py, scipy-parity); anything shorter — and any device
+    failure — takes the host SciPy path, so per-chunk callers never pay a
+    dispatch round-trip.
+    """
     if src_sr == dst_sr:
         return arr.astype(np.int16, copy=False)
+    try:
+        from ..config import Config
+
+        use_device = bool(Config.TPU_DEVICE_RESAMPLE) and arr.size >= int(
+            float(Config.TPU_DEVICE_RESAMPLE_MIN_SECONDS) * src_sr
+        )
+    except Exception:  # standalone import of this module without Config
+        use_device = False
+    if use_device:
+        try:
+            from ..ops.resample import resample_to_rate_device
+
+            return resample_to_rate_device(arr, int(src_sr), int(dst_sr))
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "device resample failed; falling back to host SciPy",
+                exc_info=True,
+            )
     import scipy.signal as sps
 
     g = math.gcd(int(src_sr), int(dst_sr))
