@@ -17,6 +17,7 @@ from .frontend import (
     SpectralEntropy,
     VADModel,
     SpeechFrontend,
+    Pitch,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "SpectralEntropy",
     "VADModel",
     "SpeechFrontend",
+    "Pitch",
 ]

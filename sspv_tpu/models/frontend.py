@@ -20,6 +20,7 @@ import numpy as np
 
 from ..ops import bases
 from ..ops.frequency_features import entropy_from_power
+from ..ops.pitch import _lag_band, pitch_from_frames, pitch_from_frames_amdf
 from ..ops.preprocessing import frame_signal
 from ..ops.windows import get_window
 
@@ -31,6 +32,7 @@ __all__ = [
     "SpectralEntropy",
     "VADModel",
     "SpeechFrontend",
+    "Pitch",
 ]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -191,3 +193,39 @@ class SpeechFrontend(FrameTransform):
             "mfcc": mfcc,
             "entropy": entropy_from_power(power),
         }
+
+
+class Pitch(FrameTransform):
+    """Configured F0 estimator over frames: ``method="acf"`` (normalized-ACF
+    peak — the pipeline's scale path semantics) or ``"amdf"``
+    (earliest-valley AMDF dual; independent cross-check estimator).
+
+    Pitch operates on RAW frames (the pipeline's pitch path frames the
+    signal without a window — ops/pitch.py), so ``frames_of`` here does NOT
+    apply the analysis window, unlike the spectral transforms.
+    """
+
+    def __init__(self, fmin: float = 50.0, fmax: float = 400.0,
+                 method: str = "acf", **kw):
+        super().__init__(**kw)
+        if method not in ("acf", "amdf"):
+            raise ValueError(f"unknown pitch method {method!r}")
+        self.fmin = float(fmin)
+        self.fmax = float(fmax)
+        self.method = method
+        # validate the lag band at construction, not first call
+        _lag_band(self.sample_rate, self.fmin, self.fmax, self.frame_size)
+
+    def frames_of(self, signal) -> jnp.ndarray:
+        return frame_signal(
+            jnp.asarray(signal, jnp.float32), self.frame_size, self.hop_size
+        )
+
+    def __call__(self, frames) -> tuple[jnp.ndarray, jnp.ndarray]:
+        if self.method == "amdf":
+            return pitch_from_frames_amdf(
+                frames, self.sample_rate, self.fmin, self.fmax
+            )
+        return pitch_from_frames(
+            frames, self.sample_rate, self.fmin, self.fmax
+        )

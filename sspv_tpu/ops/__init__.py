@@ -31,8 +31,16 @@ from .vad import (
     initial_vad_state,
 )
 from .pipeline import FeatureConfig, FeatureBlock, FeaturePipeline
+from .resample import (
+    resample_output_len,
+    resample_poly_device,
+    resample_batch_device,
+    resample_to_rate_device,
+)
 from .pitch import (
     pitch_from_frames,
+    pitch_from_frames_amdf,
+    pitch_track_amdf,
     pitch_track,
     pitch_track_gated,
     pitch_track_signal,
@@ -68,9 +76,15 @@ __all__ = [
     "FeatureBlock",
     "FeaturePipeline",
     "pitch_from_frames",
+    "pitch_from_frames_amdf",
     "pitch_track",
+    "pitch_track_amdf",
     "pitch_track_gated",
     "pitch_track_signal",
     "pitch_track_signal_gated",
     "pitch_track_signal_jit",
+    "resample_output_len",
+    "resample_poly_device",
+    "resample_batch_device",
+    "resample_to_rate_device",
 ]

@@ -28,12 +28,15 @@ from .preprocessing import stream_frames
 from .time_features import (
     _acf_dft_bases_merged,
     autocorrelation_via_dft,
+    calculate_average_magnitude_difference,
     calculate_short_time_autocorrelation,
 )
 
 __all__ = [
     "pitch_from_frames",
+    "pitch_from_frames_amdf",
     "pitch_track",
+    "pitch_track_amdf",
     "pitch_track_gated",
     "pitch_track_signal",
     "pitch_track_signal_gated",
@@ -116,6 +119,85 @@ def pitch_from_frames(
     )
     acf = acf_fn(x, lag_max)  # (F, lag_max+1)
     return _band_peak_pick(acf, lag_min, lag_max, sample_rate)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sample_rate", "fmin", "fmax")
+)
+def pitch_from_frames_amdf(
+    frames: jnp.ndarray,
+    sample_rate: int = 16000,
+    fmin: float = 50.0,
+    fmax: float = 400.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-frame pitch from the AMDF valley (the ACF peak's dual).
+
+    The reference ships the AMDF op (time_features.py:79-104) and its
+    algorithm doc names the AMDF valley at the pitch period as the cue, but
+    never wires the valley-pick; this provides it as a second, independent
+    estimator (useful as a cross-check on the ACF track — AMDF is less
+    fooled by strong formants, ACF less by amplitude modulation).
+
+    Returns ``(f0, confidence)``, both ``(num_frames,)`` float32.
+    ``confidence`` is the normalized valley depth
+    ``1 - amdf[lag*] / mean(amdf over the band)`` clipped to [0, 1]: ~0 for
+    flat AMDF (aperiodic/silence — an all-zero frame yields exactly 0), →1
+    for a deep periodic valley. Scale-invariant like the normalized-ACF
+    confidence, but the two are NOT numerically comparable gates.
+    """
+    x = jnp.asarray(frames, dtype=jnp.float32)
+    frame_size = x.shape[-1]
+    lag_min, lag_max = _lag_band(sample_rate, fmin, fmax, frame_size)
+    # (F, lag_max): column tau-1 holds lag tau (reference layout, lags
+    # 1..max_lag)
+    amdf = calculate_average_magnitude_difference(x, lag_max)
+    band = amdf[:, lag_min - 1 : lag_max]
+    # Earliest valley, not the global argmin: a periodic signal has equally
+    # deep valleys at every period MULTIPLE, and for a non-integer period a
+    # higher multiple can land nearer an integer lag and measure
+    # microscopically deeper — the global argmin then reports a subharmonic
+    # (e.g. 220 Hz -> 55 Hz: lag 291 = 4.001 periods beats lag 73 = 1.004).
+    # Two steps, both vectorized: (1) the earliest lag within 15 % of the
+    # valley-depth range marks the FIRST valley's shoulder; (2) the true
+    # bottom is the argmin within one minimal-period window after it (the
+    # next valley sits a full fundamental lag >= lag_min further out, so
+    # the window cannot reach it).
+    vmin = jnp.min(band, axis=1, keepdims=True)
+    mean_k = jnp.mean(band, axis=1, keepdims=True)
+    thresh = vmin + 0.15 * jnp.maximum(mean_k - vmin, 0.0)
+    shoulder = jnp.argmax(band <= thresh, axis=1)
+    cols = jnp.arange(band.shape[1])[None, :]
+    in_window = (cols >= shoulder[:, None]) & (
+        cols < shoulder[:, None] + lag_min
+    )
+    best = jnp.argmin(jnp.where(in_window, band, jnp.inf), axis=1)
+    valley = jnp.take_along_axis(band, best[:, None], axis=1)[:, 0]
+    mean_band = mean_k[:, 0]
+    # (mean - valley)/mean rather than 1 - valley/mean: algebraically equal
+    # for mean > 0, but an all-zero frame (mean = valley = 0) must yield 0,
+    # not the 1.0 that 1 - 0/eps would fake.
+    conf = (mean_band - valley) / jnp.maximum(mean_band, jnp.float32(1e-10))
+    conf = jnp.clip(conf, 0.0, 1.0)
+    lags = (best + lag_min).astype(jnp.float32)
+    f0 = jnp.float32(sample_rate) / lags
+    return f0.astype(jnp.float32), conf.astype(jnp.float32)
+
+
+def pitch_track_amdf(
+    frames,
+    vad,
+    sample_rate: int = 16000,
+    fmin: float = 50.0,
+    fmax: float = 400.0,
+    min_confidence: float = 0.25,
+):
+    """VAD-gated AMDF pitch track (F0=0 where unvoiced or the valley is
+    shallower than ``min_confidence``); AMDF twin of :func:`pitch_track`."""
+    f0, conf = pitch_from_frames_amdf(frames, sample_rate, fmin, fmax)
+    gate = (jnp.asarray(vad) > 0) & (
+        conf >= jnp.asarray(min_confidence, jnp.float32)
+    )
+    return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
 
 
 def pitch_track_gated(

@@ -73,3 +73,32 @@ def test_frontend_bundle_and_from_signal():
     np.testing.assert_allclose(
         np.asarray(out["mfcc"]), np.asarray(out2["mfcc"]), rtol=1e-4, atol=2e-3
     )
+
+
+def test_pitch_transform_both_methods():
+    import numpy as np
+
+    from sspv_tpu.models import Pitch
+
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    sig = (np.sin(2 * np.pi * 200 * t) * 4000).astype(np.float32)
+    for method in ("acf", "amdf"):
+        model = Pitch(method=method)
+        f0, conf = model.from_signal(sig)
+        f0 = np.asarray(f0)
+        # interior frames (tail zero-padding perturbs the last few)
+        mid = f0[2:-4]
+        assert np.all(np.abs(mid - 200.0) < 4.0), (method, mid[:5])
+        assert np.asarray(conf)[2:-4].min() > 0.4, method
+
+
+def test_pitch_transform_validation():
+    import pytest
+
+    from sspv_tpu.models import Pitch
+
+    with pytest.raises(ValueError):
+        Pitch(method="cepstrum")
+    with pytest.raises(ValueError):
+        Pitch(fmin=10.0, fmax=20.0)  # empty lag band at 320-sample frames

@@ -207,3 +207,55 @@ def test_scan_blocked_track_under_vmap(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(conf_b[row]), np.asarray(conf_r)
         )
+
+
+def test_amdf_pitch_recovers_tone_frequency():
+    from sspv_tpu.ops.pitch import pitch_from_frames_amdf
+
+    for freq in (100.0, 150.0, 220.0, 330.0):
+        frames = tone_frames(freq)
+        f0, conf = pitch_from_frames_amdf(frames, 16000)
+        f0 = np.asarray(f0)
+        tol = freq * freq / 16000 + 1.0
+        assert np.all(np.abs(f0 - freq) < tol), (freq, f0[:3])
+        # a clean tone's AMDF valley reaches (near) zero -> deep valley
+        assert np.all(np.asarray(conf) >= 0.5), (freq, np.asarray(conf).min())
+
+
+def test_amdf_agrees_with_acf_on_voiced_frames():
+    from sspv_tpu.ops.pitch import pitch_from_frames_amdf
+
+    frames = tone_frames(180.0, n_frames=30)
+    acf_f0, _ = pitch_from_frames(frames, 16000)
+    amdf_f0, _ = pitch_from_frames_amdf(frames, 16000)
+    # independent estimators, same lag grid: at most one lag step apart
+    assert np.all(np.abs(np.asarray(acf_f0) - np.asarray(amdf_f0)) < 5.0)
+
+
+def test_amdf_noise_and_silence_confidence():
+    from sspv_tpu.ops.pitch import pitch_from_frames_amdf, pitch_track_amdf
+
+    rng = np.random.default_rng(0)
+    noise = rng.normal(0, 1000, (12, 320)).astype(np.float32)
+    _, conf_noise = pitch_from_frames_amdf(noise, 16000)
+    frames = tone_frames(150.0, n_frames=12)
+    _, conf_tone = pitch_from_frames_amdf(frames, 16000)
+    assert np.asarray(conf_noise).mean() < np.asarray(conf_tone).mean()
+    # all-zero frames: valley depth exactly 0 (no fake confidence)
+    zero = np.zeros((3, 320), np.float32)
+    _, conf_zero = pitch_from_frames_amdf(zero, 16000)
+    np.testing.assert_array_equal(np.asarray(conf_zero), 0.0)
+    # VAD gating zeroes unvoiced frames regardless of confidence
+    vad = np.array([1, 0] * 6, np.int32)
+    f0, _ = pitch_track_amdf(frames, vad, 16000)
+    f0 = np.asarray(f0)
+    assert np.all(f0[vad == 0] == 0.0) and np.all(f0[vad == 1] > 0.0)
+
+
+def test_amdf_empty_band_raises():
+    import pytest
+
+    from sspv_tpu.ops.pitch import pitch_from_frames_amdf
+
+    with pytest.raises(ValueError):
+        pitch_from_frames_amdf(np.zeros((2, 64), np.float32), 16000, 20.0, 40.0)
