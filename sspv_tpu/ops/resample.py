@@ -17,15 +17,17 @@ the same computation onto the TPU as one gather + one MXU matmul:
   sample-aligned with SciPy's (zero signal-extension semantics — identical
   to ``padtype="constant", cval=0``);
 - the polyphase sum is regrouped so each run of ``up`` consecutive output
-  samples shares one input window: gather the signal into an
-  ``(A, W)`` matrix of overlapping windows (rows advance by ``down``) and
-  multiply by a precomputed banded ``(W, up)`` weight matrix. One matmul
-  replaces SciPy's per-phase FIR loops and runs on the MXU.
+  samples shares one ``W``-wide input window; with the padding aligned so
+  windows start on ``down``-sample boundaries, ``reshape(-1, down)`` turns
+  every window into ``K = ceil(W/down)`` consecutive rows and the banded
+  ``(W, up)`` weight matrix splits into K ``(down, up)`` chunks — the whole
+  resample becomes K plain matmuls on shifted contiguous views (see
+  ``_core`` for why not a gather).
 
-Rows are processed in ``row_block``-sized chunks under ``lax.scan`` so the
-gathered window matrix never materializes more than
-``row_block x W`` floats at once, keeping HBM use flat for hour-long
-signals (the same blocking idea as the pipeline's ``SCAN_BLOCK_FRAMES``).
+Output groups are processed in ``row_block``-sized chunks under
+``lax.scan`` so slice traffic per step stays bounded, keeping HBM use flat
+for hour-long signals (the same blocking idea as the pipeline's
+``SCAN_BLOCK_FRAMES``).
 
 Parity evidence: ``tests/test_resample.py`` gates the float path against
 SciPy per-sample (atol 0.05 on int16-scale data, NMSE <= 1e-10) across rate
@@ -100,10 +102,26 @@ def resample_output_len(n_in: int, up: int, down: int) -> int:
 
 def _core(signal, weights, *, up, down, s_lo, n_pre_remove, row_block,
           precision):
-    """Jit-traced resampler body: pad → windowed gather → banded matmul.
+    """Jit-traced resampler body: pad → K shifted row-view matmuls.
+
+    The naive lowering — gather each output group's ``W``-wide window into
+    an ``(A, W)`` matrix — compiles to an XLA dynamic-gather that measures
+    catastrophically slow on TPU for narrow windows (48 kHz→16 kHz: ~200 ms
+    per 8192-row step). Instead, pad the signal so the window start is a
+    multiple of ``down``; then ``reshape(-1, down)`` makes every window
+    exactly ``K = ceil(W/down)`` consecutive rows, and the banded matmul
+    decomposes into K plain matmuls on SHIFTED CONTIGUOUS VIEWS:
+
+        y[a] = sum_k  X3[a + q + k] @ M[k*down : (k+1)*down]
+
+    No gather, no sample duplication in HBM — each term is a strided view
+    feeding the MXU directly. K is small (2 for 44.1 kHz→16 kHz, 22 for
+    48 kHz→16 kHz), and XLA fuses the accumulation.
 
     ``signal`` is 1-D (any real dtype; cast to f32 like ``_resample_to``
-    does before calling SciPy). All shape arithmetic is static.
+    does before calling SciPy). All shape arithmetic is static. Groups of
+    ``up`` outputs are scan-blocked (``row_block`` rows per step, 0 = auto
+    by bytes) so HBM stays flat on hour-long signals.
     """
     import jax.numpy as jnp
     from jax import lax
@@ -113,29 +131,39 @@ def _core(signal, weights, *, up, down, s_lo, n_pre_remove, row_block,
     width = weights.shape[0]
     # Total output groups of `up` samples covering [0, n_pre_remove + n_out).
     groups = -(-(n_pre_remove + n_out) // up)
+    if row_block <= 0:
+        # Auto: bound each scan step's slice traffic to ~4M f32 (16 MB).
+        row_block = max(8192, (1 << 22) // max(down, 1))
     block = max(1, min(row_block, groups))
     groups_pad = -(-groups // block) * block
+    n_steps = groups_pad // block
 
-    pre = max(0, -s_lo)
-    j_max = (groups_pad - 1) * down + s_lo + width - 1
-    post = max(0, j_max - (n_in - 1))
+    # Align the first window start to a row boundary: pre-pad so
+    # (s_lo + pre) is a non-negative multiple of `down`.
+    pre0 = max(0, -s_lo)
+    pre = pre0 + ((-(s_lo + pre0)) % down)
+    q = (s_lo + pre) // down
+    k_terms = -(-width // down)
+    rows_total = groups_pad + q + k_terms
+    post = rows_total * down - pre - n_in
     padded = jnp.pad(signal.astype(jnp.float32), (pre, post))
+    x3 = padded.reshape(rows_total, down)
+    # Pad the banded weights to K full (down, up) chunks.
+    w_pad = jnp.pad(weights, ((0, k_terms * down - width), (0, 0)))
 
-    row_off = jnp.arange(block, dtype=jnp.int32) * down
-    col_off = jnp.arange(width, dtype=jnp.int32)
-    shift = s_lo + pre
+    def one_block(base_row):
+        acc = jnp.zeros((block, up), jnp.float32)
+        for k in range(k_terms):
+            seg = lax.dynamic_slice(x3, (base_row + q + k, 0), (block, down))
+            acc = acc + jnp.matmul(
+                seg, w_pad[k * down : (k + 1) * down], precision=precision
+            )
+        return acc
 
-    def one_block(base):
-        idx = (base + row_off)[:, None] + col_off[None, :] + shift
-        windows = padded[idx]  # (block, W)
-        return jnp.matmul(windows, weights, precision=precision)
-
-    if groups_pad == block:
+    if n_steps == 1:
         out = one_block(jnp.int32(0))
     else:
-        bases = jnp.arange(groups_pad // block, dtype=jnp.int32) * (
-            block * down
-        )
+        bases = jnp.arange(n_steps, dtype=jnp.int32) * block
         _, blocks = lax.scan(
             lambda carry, base: (carry, one_block(base)), None, bases
         )
@@ -175,13 +203,14 @@ def _reduce_ratio(up: int, down: int) -> tuple[int, int]:
 
 def resample_poly_device(signal, up: int, down: int, *,
                          precision: str = "highest",
-                         row_block: int = 8192):
+                         row_block: int = 0):
     """Resample a 1-D signal by ``up/down`` on device; returns float32.
 
     Matches ``scipy.signal.resample_poly(signal.astype(float32), up, down)``
     sample-for-sample (float32 rounding aside). ``precision`` follows the
     package-wide knob names; resampling is off the hot path so it defaults
-    to f32-accurate ``"highest"``.
+    to f32-accurate ``"highest"``. ``row_block`` is rows per scan step;
+    0 (default) auto-sizes by gathered bytes.
     """
     import jax.numpy as jnp
 
@@ -198,7 +227,7 @@ def resample_poly_device(signal, up: int, down: int, *,
 
 def resample_batch_device(signals, up: int, down: int, *,
                           precision: str = "highest",
-                          row_block: int = 8192):
+                          row_block: int = 0):
     """Resample a ``(B, L)`` batch by ``up/down`` in one device call.
 
     Rows are zero-extension resampled independently (vmapped), exactly like
