@@ -188,7 +188,7 @@ class Config:
     # frames below it report F0=0 even when the VAD says voiced).
     TPU_ENGINE_PITCH_MIN_CONF = 0.3
     # Route whole-file polyphase resampling through the device
-    # (ops/resample.py: one gather + one MXU matmul, scipy-parity filter)
+    # (ops/resample.py: K shifted row-view MXU matmuls, scipy-parity filter)
     # instead of host SciPy. Opt-in: worthwhile for batch corpus decode of
     # non-16 kHz files where host FIR time matters; pointless for mic
     # chunks. Only arrays of at least TPU_DEVICE_RESAMPLE_MIN_SECONDS are

@@ -148,10 +148,12 @@ def pitch_from_frames_amdf(
     x = jnp.asarray(frames, dtype=jnp.float32)
     frame_size = x.shape[-1]
     lag_min, lag_max = _lag_band(sample_rate, fmin, fmax, frame_size)
-    # (F, lag_max): column tau-1 holds lag tau (reference layout, lags
-    # 1..max_lag)
-    amdf = calculate_average_magnitude_difference(x, lag_max)
-    band = amdf[:, lag_min - 1 : lag_max]
+    # Trace only the search band (columns = lags lag_min..lag_max): the
+    # below-band lags are never consumed, and each would cost one unrolled
+    # slice+abs+mean subgraph (~12 % of the op at the 16 kHz defaults).
+    band = calculate_average_magnitude_difference(
+        x, lag_max, lag_start=lag_min
+    )
     # Earliest valley, not the global argmin: a periodic signal has equally
     # deep valleys at every period MULTIPLE, and for a non-integer period a
     # higher multiple can land nearer an integer lag and measure

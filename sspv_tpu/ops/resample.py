@@ -6,12 +6,13 @@ from the pipeline rate (``rtvp/runtime/audio_source.py:285-298``:
 ``resample_poly(x.astype(float32), up, down)`` then an int16 clip). That is
 fine for one mic stream, but for batch corpus processing every file pays a
 host FIR pass before the signal ever reaches the device. This module moves
-the same computation onto the TPU as one gather + one MXU matmul:
+the same computation onto the TPU as K shifted row-view MXU matmuls (no
+gather — see ``_core`` for why the gather formulation was abandoned):
 
-- filter design replicates ``scipy.signal.firwin(2*10*max(up,down)+1,
-  1/max(up,down), window=("kaiser", 5.0))`` (windowed sinc, DC-normalized),
-  cast to float32 and scaled by ``up`` exactly as ``resample_poly`` does for
-  float32 inputs;
+- filter design IS ``scipy.signal.firwin(2*10*max(up,down)+1,
+  1/max(up,down), window=("kaiser", 5.0))`` (called host-side, once per
+  rate pair), cast to float32 and scaled by ``up`` exactly as
+  ``resample_poly`` does for float32 inputs;
 - alignment replicates ``resample_poly``'s zero-pre-pad / ``n_pre_remove``
   slicing, so output length is ``ceil(n_in * up / down)`` and outputs are
   sample-aligned with SciPy's (zero signal-extension semantics — identical
@@ -50,16 +51,28 @@ __all__ = [
     "resample_to_rate_device",
 ]
 
+# Smallest pad-to length for the bucketed int16 wrapper (~1 s at 16 kHz).
+_BUCKET_MIN = 1 << 14
 
-def _firwin_kaiser(numtaps: int, cutoff: float, beta: float = 5.0) -> np.ndarray:
-    """``scipy.signal.firwin(numtaps, cutoff, window=("kaiser", beta))`` for a
-    single low-pass band: windowed sinc, scaled to unit DC gain. Verified
-    equal to SciPy's to f64 rounding (tests/test_resample.py)."""
-    m = np.arange(numtaps, dtype=np.float64) - (numtaps - 1) / 2.0
-    h = cutoff * np.sinc(cutoff * m)
-    h *= np.kaiser(numtaps, beta)
-    h /= h.sum()
-    return h
+
+def _bucket_len(n: int) -> int:
+    """Quantize a signal length up to the {2^k, 1.5*2^k} grid (min 2^14).
+
+    ``jax.jit`` caches one executable per input *shape*, and TPU
+    first-compiles go through a remote service at minutes per program — so
+    resampling a corpus of arbitrary-length files at exact shapes would pay
+    a fresh multi-minute compile per distinct length. Padding up to this
+    grid bounds the program count per (up, down) pair to ~2 per octave
+    (<= 32 across 1 s..24 h) at < 50 % wasted samples, and zero padding is
+    exactly SciPy's constant-zero signal extension, so the first
+    ``resample_output_len(true_n, up, down)`` outputs are bit-identical to
+    the unpadded resample (tests pin this).
+    """
+    if n <= _BUCKET_MIN:
+        return _BUCKET_MIN
+    k = (n - 1).bit_length()  # 2^(k-1) < n <= 2^k
+    half = 3 << (k - 2)  # 1.5 * 2^(k-1); k >= 15 here
+    return half if n <= half else (1 << k)
 
 
 @functools.lru_cache(maxsize=None)
@@ -71,10 +84,20 @@ def _polyphase_kernel(up: int, down: int) -> tuple[np.ndarray, int, int]:
     ``sum_t x[a*down + s_lo + t] * M[t, r]`` with zero signal extension.
     ``M`` encodes ``resample_poly``'s pre-padded filter
     ``hp = [zeros(n_pre_pad), h]`` sampled at ``hp[r*down - s*up]``.
+
+    The filter comes from ``scipy.signal.firwin`` itself (the host fallback
+    one call up, ``runtime.audio_source._resample_to``, already depends on
+    ``scipy.signal``) — exactly the taps ``resample_poly`` designs — so the
+    device path cannot drift from the host path it claims parity with.
+    Host-side, runs once per (up, down) and is cached.
     """
+    from scipy.signal import firwin
+
     max_rate = max(up, down)
     half_len = 10 * max_rate
-    h = _firwin_kaiser(2 * half_len + 1, 1.0 / max_rate).astype(np.float32)
+    h = firwin(
+        2 * half_len + 1, 1.0 / max_rate, window=("kaiser", 5.0)
+    ).astype(np.float32)
     h = h * np.float32(up)  # resample_poly: h *= up, after the f32 cast
     n_pre_pad = down - (half_len % down)
     n_pre_remove = (half_len + n_pre_pad) // down
@@ -253,9 +276,17 @@ def resample_batch_device(signals, up: int, down: int, *,
     return jax.vmap(core)(arr)
 
 
-def resample_to_rate_device(arr, src_sr: int, dst_sr: int) -> np.ndarray:
+def resample_to_rate_device(arr, src_sr: int, dst_sr: int, *,
+                            bucket: bool = True) -> np.ndarray:
     """Drop-in for ``runtime.audio_source._resample_to`` computed on device:
     int16 in → resample → clip [-32768, 32767] → truncate to int16.
+
+    Input lengths are padded up to the :func:`_bucket_len` grid by default
+    (the pad is host-side zeros; the true-length output is sliced back out
+    after transfer, costing no extra device dispatch), so a corpus of
+    arbitrary-length files compiles a bounded program set instead of one
+    multi-minute remote TPU compile per distinct length. ``bucket=False``
+    runs the exact shape (useful to pin bucketed == unbucketed in tests).
 
     Bit-parity with the host path is near-total but not guaranteed: both
     compute in float32, and a sample whose exact value sits at an int16
@@ -266,5 +297,12 @@ def resample_to_rate_device(arr, src_sr: int, dst_sr: int) -> np.ndarray:
     arr = np.asarray(arr)
     if int(src_sr) == int(dst_sr):
         return arr.astype(np.int16, copy=False)
-    y = np.asarray(resample_poly_device(arr, int(dst_sr), int(src_sr)))
+    up, down = _reduce_ratio(int(dst_sr), int(src_sr))
+    n_in = arr.shape[0]
+    n_out = resample_output_len(n_in, up, down)
+    if bucket and n_in > 0:
+        padded_len = _bucket_len(n_in)
+        if padded_len > n_in:
+            arr = np.pad(arr, (0, padded_len - n_in))
+    y = np.asarray(resample_poly_device(arr, up, down))[:n_out]
     return np.clip(y, -32768.0, 32767.0).astype(np.int16)

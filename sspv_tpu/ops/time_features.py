@@ -163,17 +163,27 @@ def autocorrelation_via_dft(frames: jnp.ndarray, max_lag: int) -> jnp.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_lag",))
+@functools.partial(jax.jit, static_argnames=("max_lag", "lag_start"))
 def calculate_average_magnitude_difference(
-    frames: jnp.ndarray, max_lag: int
+    frames: jnp.ndarray, max_lag: int, lag_start: int = 1
 ) -> jnp.ndarray:
-    """Average magnitude difference function for lags 1..max_lag."""
+    """Average magnitude difference function for lags ``lag_start..max_lag``.
+
+    ``lag_start=1`` is the reference surface (rtvp time_features.py:79-104:
+    all lags from 1). Callers that only consume a lag band (the AMDF pitch
+    tracker searches ``lag_min..lag_max``) pass a higher start so the
+    below-band columns — one unrolled slice+abs+mean subgraph each — are
+    never traced at all, instead of being computed and discarded.
+    """
     x = jnp.asarray(frames, dtype=jnp.float32)
     num_frames = x.shape[0] if x.ndim == 2 else 0
-    if num_frames == 0 or x.size == 0 or max_lag <= 0:
-        return jnp.zeros((num_frames, max(0, max_lag)), dtype=jnp.float32)
+    lag_start = max(1, int(lag_start))
+    if num_frames == 0 or x.size == 0 or max_lag < lag_start:
+        return jnp.zeros(
+            (num_frames, max(0, max_lag - lag_start + 1)), dtype=jnp.float32
+        )
     cols = []
-    for lag in range(1, max_lag + 1):
+    for lag in range(lag_start, max_lag + 1):
         diff = jnp.abs(x[:, :-lag] - x[:, lag:])
         cols.append(jnp.mean(diff, axis=1))
     return jnp.stack(cols, axis=1).astype(jnp.float32)

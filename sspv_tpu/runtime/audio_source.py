@@ -282,14 +282,26 @@ def _resample_to(arr: np.ndarray, src_sr: int, dst_sr: int) -> np.ndarray:
     """
     if src_sr == dst_sr:
         return arr.astype(np.int16, copy=False)
-    try:
+    use_device = False
+    try:  # standalone import of this module without the package is fine
         from ..config import Config
+    except ImportError:
+        Config = None
+    if Config is not None:
+        try:
+            use_device = bool(Config.TPU_DEVICE_RESAMPLE) and arr.size >= int(
+                float(Config.TPU_DEVICE_RESAMPLE_MIN_SECONDS) * src_sr
+            )
+        except Exception:
+            # e.g. an uncoercible RTP_/YAML value landed on the attribute;
+            # routing silently to host here would hide that the requested
+            # device path is off — warn like the device-failure branch does.
+            import logging
 
-        use_device = bool(Config.TPU_DEVICE_RESAMPLE) and arr.size >= int(
-            float(Config.TPU_DEVICE_RESAMPLE_MIN_SECONDS) * src_sr
-        )
-    except Exception:  # standalone import of this module without Config
-        use_device = False
+            logging.getLogger(__name__).warning(
+                "device-resample config unreadable; using host SciPy",
+                exc_info=True,
+            )
     if use_device:
         try:
             from ..ops.resample import resample_to_rate_device

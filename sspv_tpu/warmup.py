@@ -35,12 +35,19 @@ Families:
 - ``--long S``: one ``process_signal_device`` dispatch of S seconds — the
   scan-blocked flagship offline path (compile cost is length-independent
   past ``SCAN_BLOCK_FRAMES``, so one length warms all long signals).
+- ``--resample "SRC[,SRC...]"``: the device resampler programs
+  (``RTP_TPU_DEVICE_RESAMPLE=1``) from each listed source rate to the
+  pipeline rate, one per bucket of the ``ops.resample._bucket_len`` length
+  grid spanning ``--resample-span MIN:MAX`` seconds (default 30:600) — the
+  exact programs the bucketed int16 wrapper dispatches for corpus files in
+  that length range.
 """
 
 from __future__ import annotations
 
 import argparse
 import logging
+import math
 import time
 
 import numpy as np
@@ -63,6 +70,8 @@ def warmup(
     engine: bool = False,
     batch: int = 0,
     long_seconds: float = 0.0,
+    resample_rates: tuple = (),
+    resample_span: tuple = (30.0, 600.0),
 ) -> int:
     """Compile the selected program families; returns the family count."""
     import jax
@@ -169,6 +178,34 @@ def warmup(
             )
             count += 1
 
+    if resample_rates:
+        from .ops.resample import _bucket_len, resample_poly_device
+
+        lo, hi = resample_span
+        for src in resample_rates:
+            src = int(src)
+            if src == sr:
+                continue
+            g = math.gcd(src, sr)
+            up, down = sr // g, src // g
+            b = _bucket_len(max(1, int(lo * src)))
+            last = _bucket_len(max(1, int(hi * src)))
+            buckets = []
+            while True:
+                buckets.append(b)
+                if b >= last:
+                    break
+                b = _bucket_len(b + 1)
+            for L in buckets:
+                def one(L=L, up=up, down=down):
+                    out = resample_poly_device(
+                        np.zeros((L,), np.int16), up, down
+                    )
+                    jax.block_until_ready(out)
+
+                _timed(f"resample {src}->{sr} bucket {L}", one)
+            count += 1
+
     if long_seconds > 0:
         sig = np.zeros((int(long_seconds * sr),), np.float32)
 
@@ -197,6 +234,13 @@ def main(argv=None) -> int:
     parser.add_argument("--long", type=float, default=0.0, dest="long_seconds",
                         help="warm the scan-blocked long path at this many "
                         "seconds (0=skip)")
+    parser.add_argument("--resample", default="",
+                        help="comma-separated source rates to warm the "
+                        "device resampler for (e.g. '22050,48000'; dst = "
+                        "pipeline rate)")
+    parser.add_argument("--resample-span", default="30:600",
+                        help="MIN:MAX corpus file length in seconds whose "
+                        "length buckets to warm (default 30:600)")
     args = parser.parse_args(argv)
 
     Config.setup_logging()
@@ -205,10 +249,16 @@ def main(argv=None) -> int:
     cache_dir = enable_persistent_cache()
     print(f"compile cache: {cache_dir}", flush=True)
     t0 = time.perf_counter()
+    rates = tuple(
+        int(r) for r in args.resample.split(",") if r.strip()
+    )
+    lo, _, hi = args.resample_span.partition(":")
     n = warmup(
         offline=args.offline, stream=args.stream, pitch=args.pitch,
         engine=args.engine, batch=args.batch,
         long_seconds=args.long_seconds,
+        resample_rates=rates,
+        resample_span=(float(lo), float(hi or lo)),
     )
     print(f"warmed {n} families in {time.perf_counter() - t0:.1f}s", flush=True)
     return 0

@@ -259,3 +259,22 @@ def test_amdf_empty_band_raises():
 
     with pytest.raises(ValueError):
         pitch_from_frames_amdf(np.zeros((2, 64), np.float32), 16000, 20.0, 40.0)
+
+
+def test_amdf_lag_start_band_matches_full_slice():
+    """calculate_average_magnitude_difference(lag_start=k) must equal the
+    sliced full-range op (bit-exact: same per-lag subgraphs, fewer of them),
+    so the banded AMDF the pitch tracker traces is the reference AMDF's
+    columns."""
+    from sspv_tpu.ops.time_features import (
+        calculate_average_magnitude_difference as amdf,
+    )
+
+    rng = np.random.default_rng(13)
+    frames = rng.normal(0, 1.0, (5, 320)).astype(np.float32)
+    full = np.asarray(amdf(frames, 320))  # lags 1..320 (reference surface)
+    band = np.asarray(amdf(frames, 320, lag_start=40))  # lags 40..320
+    assert band.shape == (5, 281)
+    np.testing.assert_array_equal(band, full[:, 39:])
+    # degenerate: empty band
+    assert np.asarray(amdf(frames, 10, lag_start=11)).shape == (5, 0)

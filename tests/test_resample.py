@@ -9,7 +9,8 @@ import numpy as np
 import pytest
 
 from sspv_tpu.ops.resample import (
-    _firwin_kaiser,
+    _BUCKET_MIN,
+    _bucket_len,
     resample_batch_device,
     resample_output_len,
     resample_poly_device,
@@ -33,14 +34,56 @@ def _ratio(src, dst):
     return dst // g, src // g
 
 
-def test_firwin_matches_scipy():
-    from scipy.signal import firwin
+def test_bucket_len_grid():
+    """{2^k, 1.5*2^k} grid: monotone, >= n, <= 1.5x waste, bounded set."""
+    assert _bucket_len(1) == _BUCKET_MIN
+    assert _bucket_len(_BUCKET_MIN) == _BUCKET_MIN
+    for n in (
+        _BUCKET_MIN + 1, 20000, 24576, 24577, 30000, 32768, 32769,
+        100000, 16000 * 3600, 16000 * 86400,
+    ):
+        b = _bucket_len(n)
+        assert b >= n
+        assert b < 1.5 * n + 1, (n, b)
+        # grid membership: b is 2^k or 3*2^(k-1)
+        assert b & (b - 1) == 0 or (b % 3 == 0 and (b // 3) & (b // 3 - 1) == 0)
+    # program count across 1 s .. 24 h of 16 kHz audio stays tiny
+    lens = {_bucket_len(n) for n in range(16000, 16000 * 86400, 99991)}
+    assert len(lens) <= 32
 
-    for max_rate in (2, 3, 147, 160, 441):
-        numtaps = 2 * 10 * max_rate + 1
-        ours = _firwin_kaiser(numtaps, 1.0 / max_rate)
-        ref = firwin(numtaps, 1.0 / max_rate, window=("kaiser", 5.0))
-        np.testing.assert_allclose(ours, ref, atol=1e-16, rtol=0)
+
+def test_bucketed_wrapper_bit_equals_exact_shape():
+    """Padding to the bucket grid must not change a single output sample:
+    zero padding == SciPy's constant-zero extension, and each output's f32
+    contraction order is independent of the row count."""
+    rng = np.random.default_rng(21)
+    for n in (4097, 30000, 24577):
+        x = rng.normal(0, 8000, n).clip(-32768, 32767).astype(np.int16)
+        for src, dst in ((22050, 16000), (48000, 16000), (8000, 16000)):
+            bucketed = resample_to_rate_device(x, src, dst)
+            exact = resample_to_rate_device(x, src, dst, bucket=False)
+            np.testing.assert_array_equal(bucketed, exact, err_msg=f"{src}->{dst} n={n}")
+            assert bucketed.shape[0] == resample_output_len(
+                n, *_ratio(src, dst)
+            )
+
+
+def test_unreadable_config_warns_and_falls_back(monkeypatch, caplog):
+    """An uncoercible TPU_DEVICE_RESAMPLE_MIN_SECONDS must not silently
+    disable device routing — the host fallback logs a warning."""
+    import logging
+
+    from sspv_tpu.config import Config
+
+    monkeypatch.setattr(Config, "TPU_DEVICE_RESAMPLE", True, raising=False)
+    monkeypatch.setattr(
+        Config, "TPU_DEVICE_RESAMPLE_MIN_SECONDS", "50ms", raising=False
+    )
+    x = np.ones(4000, np.int16)
+    with caplog.at_level(logging.WARNING, logger="sspv_tpu.runtime.audio_source"):
+        out = _resample_to(x, 22050, 16000)
+    assert out.dtype == np.int16
+    assert any("config unreadable" in r.message for r in caplog.records)
 
 
 @pytest.mark.parametrize("src,dst", RATE_PAIRS)

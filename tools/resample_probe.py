@@ -4,7 +4,7 @@
 The batch corpus path decodes files host-side; any non-16 kHz file then pays
 a SciPy FIR pass (``runtime/audio_source.py::_resample_to``) before its
 samples reach the device. ``ops/resample.py`` moves that FIR onto the MXU
-(one gather + one banded matmul); this probe quantifies when that is worth
+(K shifted row-view matmuls); this probe quantifies when that is worth
 switching on (``RTP_TPU_DEVICE_RESAMPLE=1``):
 
     python tools/resample_probe.py [seconds ...]     # default: 60 600
