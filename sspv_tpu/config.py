@@ -150,10 +150,14 @@ class Config:
     # Fused Pallas kernel for the signal-view path (1 = on): keeps the DFT
     # output and power spectrum in VMEM (the XLA path round-trips ~11 GB of
     # HBM intermediates per 4 h call) with manual 3-pass bf16 matmuls.
-    # Opt-in pending the on-chip A/B; needs the 50%-overlap geometry, even
-    # n_fft, one shared spectrum and a strictly positive window — other
-    # configs silently use the XLA view path. See ops/pallas_view.py.
-    TPU_VIEW_KERNEL = 0
+    # Default ON since the on-chip A/B (tools/viewkernel_ab.py, r3):
+    # features 1.05x faster at BETTER parity (nmse 2.8e-9 vs 1.2e-8) and
+    # the fused pitch variant 1.51x faster with bit-identical F0 picks.
+    # Engages only on the TPU backend at non-"highest" precision and needs
+    # the 50%-overlap geometry, even n_fft, one shared spectrum and a
+    # strictly positive window — other configs silently use the XLA view
+    # path. See ops/pallas_view.py.
+    TPU_VIEW_KERNEL = 1
     # Adaptive-VAD trailing-history sums: "blocked" (two-level block
     # cumsums, default) or "conv" (ones-kernel convolution, the original
     # formulation; "blocked" falls back to it when the block length is not

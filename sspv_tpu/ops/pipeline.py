@@ -99,11 +99,13 @@ class FeatureConfig(NamedTuple):
     # Fused Pallas kernel for the signal-view path (ops/pallas_view.py):
     # keeps the (F, n_fft) DFT output / power spectrum in VMEM instead of
     # round-tripping them through HBM, with manual 3-pass bf16 matmuls
-    # standing in for XLA's "high". Opt-in pending on-chip A/B; requires
-    # the 50%-overlap geometry, even n_fft, a shared entropy spectrum and
-    # a strictly positive window (falls back to the XLA view path
-    # otherwise, and is only engaged on the TPU backend).
-    view_kernel: bool = False
+    # standing in for XLA's "high". Default ON since the on-chip A/B
+    # (tools/viewkernel_ab.py, r3: 1.05x faster, nmse 2.8e-9 vs the XLA
+    # path's 1.2e-8); requires the 50%-overlap geometry, even n_fft, a
+    # shared entropy spectrum and a strictly positive window (falls back
+    # to the XLA view path otherwise, and is only engaged on the TPU
+    # backend at non-"highest" precision).
+    view_kernel: bool = True
 
     @classmethod
     def from_config(cls, config=None) -> "FeatureConfig":
@@ -208,9 +210,9 @@ class FeaturePipeline:
 
         self._precision = _resolve_precision(c.precision)
         self._use_pallas = bool(c.use_pallas) and _pallas_available()
-        # Fused signal-view kernel (ops/pallas_view.py): opt-in, and only
-        # where its geometry contract holds — otherwise the XLA view path
-        # serves (see FeatureConfig.view_kernel).
+        # Fused signal-view kernel (ops/pallas_view.py): default-on, but
+        # only where its geometry contract holds — otherwise the XLA view
+        # path serves (see FeatureConfig.view_kernel).
         self._use_view_kernel = (
             bool(c.view_kernel)
             and _pallas_available()

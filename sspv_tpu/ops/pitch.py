@@ -251,6 +251,27 @@ def pitch_track(
 SCAN_BLOCK_FRAMES = 32768
 
 
+def _view_kernel_default() -> bool:
+    """Resolve ``use_kernel=None``: engage the fused Pallas pitch kernel on
+    the TPU backend when ``Config.TPU_VIEW_KERNEL`` is on (the same knob
+    that governs the pipeline's fused view kernel — both live in
+    ops/pallas_view.py and were adopted together after the r3 on-chip A/B:
+    pitch 1.51x faster with bit-identical F0 picks).
+
+    Read at trace time: a later Config/backend flip does not retrace an
+    already-cached (shape, statics) combo — pass ``use_kernel`` explicitly
+    to force a path per call site.
+    """
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    from ..config import Config
+
+    return bool(getattr(Config, "TPU_VIEW_KERNEL", True))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -270,7 +291,7 @@ def pitch_track_signal(
     min_confidence: float = 0.3,
     acf_impl: str = "dft",
     precision: str = "high",
-    use_kernel: bool = False,
+    use_kernel: bool | None = None,
     scan_block: int = -1,
 ):
     """VAD-gated pitch track over a whole 1-D signal, entirely on device:
@@ -293,6 +314,12 @@ def pitch_track_signal(
     (one unscanned program — the pre-scan behavior). Signals at or under
     one block compile the direct form either way, so short/streaming
     callers never pay scan overhead.
+
+    ``use_kernel``: ``None`` (default) resolves via ``_view_kernel_default``
+    — the fused Pallas variant on the TPU backend when
+    ``Config.TPU_VIEW_KERNEL`` is on; an explicit bool forces a path
+    (CPU callers passing ``True`` get interpreter mode, as the kernel
+    parity tests do).
     """
     x = jnp.asarray(signal, dtype=jnp.float32)
     length = int(x.shape[0])
@@ -316,6 +343,8 @@ def pitch_track_signal(
         # ("HIGHEST", whitespace, unknown names) gate the bf16 kernel off
         # exactly like the canonical string
         hp = _resolve_precision(precision)
+        if use_kernel is None:
+            use_kernel = _view_kernel_default()
         use_fused = use_kernel and hp != jax.lax.Precision.HIGHEST
 
         def from_rows(rows_blk):
@@ -323,8 +352,9 @@ def pitch_track_signal(
             if use_fused:
                 # Fused Pallas variant: intermediates (DFT output, power,
                 # ACF) stay in VMEM; manual 3-pass bf16 matmuls
-                # (ops/pallas_view.py). Opt-in pending the on-chip A/B
-                # (tools/viewkernel_ab.py --pitch). Gated off at "highest":
+                # (ops/pallas_view.py). Default since the r3 on-chip A/B
+                # (tools/viewkernel_ab.py --pitch: 1.51x faster,
+                # f0_match=1.0 over 3600 s). Gated off at "highest":
                 # the kernel's dots are 3-pass bf16 (== "high") and a
                 # strict-f32 pin must not silently downgrade.
                 from .pallas_view import fused_view_pitch
@@ -393,6 +423,7 @@ def pitch_track_signal_jit(
     fmax: float = 400.0,
     acf_impl: str = "dft",
     precision: str = "high",
+    use_kernel: bool | None = None,
 ):
     """Jitted ``(signal, vad, min_confidence) -> (f0, confidence)`` for these
     static parameters, cached so repeated callers (the HTTP serving layer,
@@ -407,10 +438,14 @@ def pitch_track_signal_jit(
     minutes-long remote compile.
     """
     # normalize the key here so call-spelling differences (kwargs vs
-    # defaults omitted) cannot create duplicate jitted callables
+    # defaults omitted) cannot create duplicate jitted callables.
+    # ``use_kernel=None`` stays None in the key (one shared callable whose
+    # kernel choice resolves per-backend at trace time) rather than being
+    # resolved here, so explicit bools get their own cache entries.
     return _pitch_jit_cached(
         int(frame_size), int(hop_size), int(sample_rate),
         float(fmin), float(fmax), str(acf_impl), str(precision),
+        None if use_kernel is None else bool(use_kernel),
     )
 
 
@@ -426,6 +461,7 @@ def pitch_track_signal_gated(
     fmax: float = 400.0,
     acf_impl: str = "dft",
     precision: str = "high",
+    use_kernel: bool | None = None,
 ):
     """Traceable ``pitch_track_signal`` with a TRACED confidence threshold.
 
@@ -447,7 +483,7 @@ def pitch_track_signal_gated(
         frame_size=frame_size, hop_size=hop_size,
         sample_rate=sample_rate, fmin=fmin, fmax=fmax,
         min_confidence=float("-inf"), acf_impl=acf_impl,
-        precision=precision,
+        precision=precision, use_kernel=use_kernel,
     )
     gate = (jnp.asarray(vad) > 0) & (
         conf >= jnp.asarray(min_confidence, jnp.float32)
@@ -459,6 +495,7 @@ def pitch_track_signal_gated(
 def _pitch_jit_cached(
     frame_size: int, hop_size: int, sample_rate: int,
     fmin: float, fmax: float, acf_impl: str, precision: str,
+    use_kernel: bool | None = None,
 ):
     def impl(signal, vad, min_confidence):
         return pitch_track_signal_gated(
@@ -466,6 +503,7 @@ def _pitch_jit_cached(
             frame_size=frame_size, hop_size=hop_size,
             sample_rate=sample_rate, fmin=fmin, fmax=fmax,
             acf_impl=acf_impl, precision=precision,
+            use_kernel=use_kernel,
         )
 
     return jax.jit(impl)

@@ -164,13 +164,14 @@ def test_view_layout_knob_reaches_pipeline(monkeypatch):
     orig = (Config.TPU_VIEW_LAYOUT, Config.TPU_VIEW_KERNEL)
     try:
         assert FeatureConfig.from_config(Config).view_layout == "hop_phase"
-        assert FeatureConfig.from_config(Config).view_kernel is False
+        # default ON since the r3 on-chip A/B (config.py TPU_VIEW_KERNEL)
+        assert FeatureConfig.from_config(Config).view_kernel is True
         monkeypatch.setenv("RTP_TPU_VIEW_LAYOUT", "frame_parity")
-        monkeypatch.setenv("RTP_TPU_VIEW_KERNEL", "1")
+        monkeypatch.setenv("RTP_TPU_VIEW_KERNEL", "0")
         Config.load_from_env("RTP_")
         assert Config.TPU_VIEW_LAYOUT == "frame_parity"
         assert FeatureConfig.from_config(Config).view_layout == "frame_parity"
-        assert FeatureConfig.from_config(Config).view_kernel is True
+        assert FeatureConfig.from_config(Config).view_kernel is False
     finally:
         Config.TPU_VIEW_LAYOUT, Config.TPU_VIEW_KERNEL = orig
 

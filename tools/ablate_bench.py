@@ -184,11 +184,15 @@ def main(argv):
         pipe = FeaturePipeline(FeatureConfig(precision=prec))
         run_full(pipe, f"full_{prec}", parity(pipe))
 
-    # Fused signal-view Pallas kernel (ops/pallas_view.py; opt-in knob,
-    # engages on the TPU backend only — skipped silently elsewhere)
+    # Fused signal-view Pallas kernel (ops/pallas_view.py): the DEFAULT
+    # since r3, so full_shipped above already runs it on TPU; keep an
+    # explicit kernel row for continuity with older tables plus the XLA
+    # opt-out leg for the contrast (both TPU-only — skipped elsewhere)
     vk = FeaturePipeline(FeatureConfig(view_kernel=True))
     if vk._use_view_kernel:
         run_full(vk, "full_viewkernel", parity(vk))
+        xla_view = FeaturePipeline(FeatureConfig(view_kernel=False))
+        run_full(xla_view, "full_xla_view", parity(xla_view))
 
     # scan-block sensitivity
     for blk in (16384, 65536):

@@ -79,7 +79,10 @@ def main(argv):
         }), flush=True)
         return per
 
-    shipped = FeaturePipeline(FeatureConfig())
+    # Since r3 the kernel is the default (config.py TPU_VIEW_KERNEL=1), so
+    # the XLA leg is the explicit opt-out; leg names keep their historical
+    # meaning (xla_view vs pallas_view_kernel).
+    shipped = FeaturePipeline(FeatureConfig(view_kernel=False))
     kernel = FeaturePipeline(FeatureConfig(view_kernel=True))
     if not kernel._use_view_kernel:
         print(json.dumps({
