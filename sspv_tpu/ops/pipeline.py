@@ -143,7 +143,10 @@ class FeatureConfig(NamedTuple):
             view_layout=str(
                 getattr(c, "TPU_VIEW_LAYOUT", "hop_phase") or "hop_phase"
             ).lower(),
-            view_kernel=bool(getattr(c, "TPU_VIEW_KERNEL", False)),
+            # fallback True = the class default (config.py TPU_VIEW_KERNEL=1)
+            # and matches pitch's _view_kernel_default, so a stripped config
+            # object cannot split the two halves of the signal path
+            view_kernel=bool(getattr(c, "TPU_VIEW_KERNEL", True)),
         )
 
 
@@ -227,6 +230,13 @@ class FeaturePipeline:
             and self._wc_ent is None
             and bool(np.all(self._window > 0))
         )
+        # The pipeline's pitch legs (process_signal_pitch_auto,
+        # pitch_signal_auto) pass this explicitly so the per-pipeline
+        # view_kernel knob governs BOTH halves of the offline signal path —
+        # otherwise pitch would resolve from global Config and a
+        # FeatureConfig(view_kernel=False) opt-out would silently not reach
+        # it. Pitch applies its own geometry/precision gates internally.
+        self._pitch_use_kernel = bool(c.view_kernel) and _pallas_available()
         # Every jitted callable is created here (never lazily on first call):
         # the compiled-function inventory stays auditable in one place and a
         # first call racing from two threads can't jit the same impl twice.
@@ -953,6 +963,7 @@ class FeaturePipeline:
                 padded, gate_vad, min_conf,
                 frame_size=c.frame_size, hop_size=c.hop_size,
                 sample_rate=c.sample_rate, fmin=key[0], fmax=key[1],
+                use_kernel=self._pitch_use_kernel,
             )
             return block, new_state, f0, conf
 
@@ -1145,6 +1156,7 @@ class FeaturePipeline:
         fn = pitch_track_signal_jit(
             frame_size=c.frame_size, hop_size=c.hop_size, sample_rate=sr,
             fmin=float(fmin), fmax=float(fmax),
+            use_kernel=self._pitch_use_kernel,
         )
         f0, conf = fn(psig, pvad, np.float32(min_confidence))
         f0 = np.asarray(f0)[:n]

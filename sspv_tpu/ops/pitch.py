@@ -262,10 +262,9 @@ def _view_kernel_default() -> bool:
     already-cached (shape, statics) combo — pass ``use_kernel`` explicitly
     to force a path per call site.
     """
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-    except Exception:
+    from .pipeline import _pallas_available
+
+    if not _pallas_available():
         return False
     from ..config import Config
 
@@ -491,7 +490,9 @@ def pitch_track_signal_gated(
     return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
 
 
-@functools.lru_cache(maxsize=256)  # serve's band grid alone permits 153 pairs
+@functools.lru_cache(maxsize=512)  # serve's band grid alone permits 153
+# pairs, and the use_kernel key axis (None/False/True) triples the
+# worst case to ~459 — sized so a full sweep cannot thrash
 def _pitch_jit_cached(
     frame_size: int, hop_size: int, sample_rate: int,
     fmin: float, fmax: float, acf_impl: str, precision: str,

@@ -74,7 +74,13 @@ class BatchPipeline:
 
     def __init__(self, mesh: Mesh, cfg: FeatureConfig | None = None):
         self.mesh = mesh
-        self.pipe = FeaturePipeline(cfg or FeatureConfig())
+        # view_kernel off: Pallas calls have no GSPMD partitioning rule, so
+        # every sharded program here must lower the XLA view path —
+        # process_long's view branch would otherwise place a pallas_call
+        # under a with_sharding_constraint on real multi-chip meshes. The
+        # single-chip FeaturePipeline keeps its own (kernel) default.
+        base = cfg or FeatureConfig()
+        self.pipe = FeaturePipeline(base._replace(view_kernel=False))
         self._batch_jit = {}
 
     def _batch_impl(self, signals: jnp.ndarray, states: vad_ops.VadState):
@@ -186,7 +192,14 @@ class BatchPipeline:
         bit-identical to it (tests/test_parallel.py). ``min_confidence`` is
         traced (the inner track runs ungated at ``-inf``; the outer
         comparison is the sole confidence gate), so thresholds never force a
-        recompile — one program per (shape, band)."""
+        recompile — one program per (shape, band).
+
+        Note: every sharded program here pins ``use_kernel=False`` (Pallas
+        has no GSPMD partitioning rule), so on TPU the single-chip
+        ``FeaturePipeline`` pitch default (fused kernel) and this path can
+        differ in confidence low bits; F0 picks measured bit-identical
+        (docs/benchmarks.md r3 A/B). Bit-identity claims compare same-path
+        constructions."""
         signals = _as_transfer_dtype(signals)
         lengths = jnp.asarray(lengths, dtype=jnp.int32)
         b = signals.shape[0]
@@ -206,11 +219,16 @@ class BatchPipeline:
                     # frame range into the zero padding; gate pitch on the
                     # masked VAD exactly like the two-call path does host-side
                     gate_vad = jnp.where(valid, block.vad, 0)
-                    # shared traced-threshold gate (ops/pitch.py)
+                    # shared traced-threshold gate (ops/pitch.py).
+                    # use_kernel=False: Pallas calls have no GSPMD
+                    # partitioning rule, so inside this sharded jit the
+                    # pitch leg must stay on the XLA view path (the
+                    # single-chip default resolves to the fused kernel).
                     f0, conf = pitch_track_signal_gated(
                         signal, gate_vad, mc,
                         frame_size=c.frame_size, hop_size=c.hop_size,
                         sample_rate=c.sample_rate, fmin=fmin, fmax=fmax,
+                        use_kernel=False,
                     )
                     return block, new_state, f0, conf
 

@@ -128,7 +128,9 @@ def test_pitch_kernel_default_resolution():
     sig = np.random.default_rng(7).normal(0, 2000, 16000).astype(np.float32)
     vad = np.ones((99,), np.int32)
     f0_d, conf_d = pitch_track_signal(sig, vad)
-    f0_e, conf_e = pitch_track_signal(sig, vad, use_kernel=on_tpu)
+    f0_e, conf_e = pitch_track_signal(
+        sig, vad, use_kernel=on_tpu and bool(Config.TPU_VIEW_KERNEL)
+    )
     assert np.array_equal(np.asarray(f0_d), np.asarray(f0_e))
     assert np.array_equal(np.asarray(conf_d), np.asarray(conf_e))
 
