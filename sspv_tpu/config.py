@@ -158,6 +158,15 @@ class Config:
     # strictly positive window — other configs silently use the XLA view
     # path. See ops/pallas_view.py.
     TPU_VIEW_KERNEL = 1
+    # Frames per grid step of the fused view kernels (both features and
+    # pitch). Must be a multiple of 8; shorter inputs shrink to the padded
+    # frame count. 1024 won the r3 sweep (tools/viewkernel_ab.py --sweep):
+    # features tie 512 within noise (37.8 vs 38.2 ms / 14,400 s) but pitch
+    # runs 14% faster (13.4 vs 15.5 ms / 3,600 s) — fewer grid steps amortize
+    # the per-step weight DMA while the per-step VMEM tiles still fit the
+    # 16 MB scoped limit (256 is 5x slower; 2048 exceeds scoped VMEM and
+    # fails to compile).
+    TPU_VIEW_BLOCK_FRAMES = 1024
     # Adaptive-VAD trailing-history sums: "blocked" (two-level block
     # cumsums, default) or "conv" (ones-kernel convolution, the original
     # formulation; "blocked" falls back to it when the block length is not

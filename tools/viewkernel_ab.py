@@ -2,6 +2,12 @@
 """A/B: shipped XLA signal-view path vs the fused Pallas view kernel.
 
     python tools/viewkernel_ab.py [seconds] [reps]   # default 14400, 8
+    python tools/viewkernel_ab.py --sweep 256,1024,2048 [seconds] [reps]
+
+``--sweep`` measures the kernel legs (features + pitch) at each listed
+``TPU_VIEW_BLOCK_FRAMES`` grid-step size instead of running the XLA-vs-
+kernel comparison; each new size compiles two fresh programs (minutes each
+through the remote service, cached afterwards).
 
 Interleaves warm measurements of the two programs (same process, same
 tunnel phase) at the bench call length and prints one JSON line per leg:
@@ -26,6 +32,10 @@ import numpy as np
 
 
 def main(argv):
+    sweep = None
+    if argv and argv[0] == "--sweep":
+        sweep = [int(x) for x in argv[1].split(",") if x]
+        argv = argv[2:]
     seconds = float(argv[0]) if argv else 14400.0
     reps = int(argv[1]) if len(argv) > 1 else 8
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -78,6 +88,50 @@ def main(argv):
             **(extra or {}),
         }), flush=True)
         return per
+
+    if sweep is not None:
+        import functools
+
+        from sspv_tpu.config import Config
+        from sspv_tpu.ops.pitch import pitch_track_signal
+
+        base_bf = Config.TPU_VIEW_BLOCK_FRAMES
+        p_seconds = min(3600.0, float(seconds))
+        pn = int(p_seconds * sr)
+        p_frames = 1 + (pn - 320) // 160
+        sig_p = sig[:pn]
+        try:
+            for bf in sweep:
+                Config.TPU_VIEW_BLOCK_FRAMES = bf
+                pipe = FeaturePipeline(FeatureConfig(view_kernel=True))
+                if not pipe._use_view_kernel:
+                    print(json.dumps({"error": "kernel not engaged",
+                                      "block_frames": bf}))
+                    continue
+                measure(pipe, f"pallas_view_bf{bf}", parity(pipe))
+                block, _ = pipe.process_signal_device(sig, pipe.initial_state())
+                vad_gate = block.vad[:p_frames]
+                fn = jax.jit(
+                    functools.partial(pitch_track_signal, use_kernel=True)
+                )
+                f0, conf = fn(sig_p, vad_gate)
+                jax.block_until_ready(f0)
+                _ = float(jax.device_get(f0[-1]))
+                tails = []
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    f0, conf = fn(sig_p, vad_gate)
+                    tails.append(f0[-1] + conf[-1])
+                _ = float(jax.device_get(jnp.stack(tails).sum()))
+                per = (time.perf_counter() - t0) / reps
+                print(json.dumps({
+                    "variant": f"pitch_pallas_bf{bf}",
+                    "time_s": round(per, 5),
+                    "audio_x_realtime": round(p_seconds / per, 1),
+                }), flush=True)
+        finally:
+            Config.TPU_VIEW_BLOCK_FRAMES = base_bf
+        return 0
 
     # Since r3 the kernel is the default (config.py TPU_VIEW_KERNEL=1), so
     # the XLA leg is the explicit opt-out; leg names keep their historical
