@@ -143,28 +143,23 @@ def main() -> None:
     # which would overstate throughput by orders of magnitude. The per-call
     # tunnel round-trip (~25 ms each way on tunneled dev hardware) overlaps
     # compute instead of serializing with it.
-    reps = 8
-    tails = []
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        block, _ = pipe.process_signal_device(sig, state0)
-        tails.append(block.vad[-1])
-    voiced = int(jax.device_get(jnp.stack(tails).sum()) // reps)
-    pipelined = (time.perf_counter() - t0) / reps
+    #
+    # N rounds of measurement (VERDICT r3 ask #3): run-to-run variance on
+    # the tunneled chip is ±5% (phase drift to 1.7x has been observed across
+    # process restarts — docs/benchmarks.md); one sample is not a defensible
+    # headline. The rounds interleave with the pitch rounds below (same
+    # drift exposure for both metrics); "value" stays the best round for
+    # round-over-round comparability, the median is what the docs quote.
+    rounds, reps = 5, 4
 
-    # Serialized per-dispatch latency (previous methodology): one dispatch,
-    # one sync, one scalar fetch — includes both tunnel round-trips.
-    times = []
-    for _ in range(3):
+    def measure_features() -> float:
+        tails = []
         t0 = time.perf_counter()
-        block, _ = pipe.process_signal_device(sig, state0)
-        jax.block_until_ready(block)
-        voiced = int(jax.device_get(block.vad[-1]))
-        times.append(time.perf_counter() - t0)
-    serialized = min(times)
-
-    best = min(pipelined, serialized)
-    audio_sec_per_sec = seconds / best
+        for _ in range(reps):
+            block, _ = pipe.process_signal_device(sig, state0)
+            tails.append(block.vad[-1])
+        _ = int(jax.device_get(jnp.stack(tails).sum()) // reps)
+        return (time.perf_counter() - t0) / reps
 
     # pitch stage (BASELINE.json configs[2]: "autocorrelation pitch-period
     # detection on VAD-gated voiced segments"): the jitted signal-level
@@ -178,11 +173,11 @@ def main() -> None:
     # on the tunneled link
     pitch_fn = pitch_track_signal_jit()
 
-    # Pitch dispatches the SAME 4 h signal as the headline pipeline: the
-    # hop-phase path scans over SCAN_BLOCK_FRAMES row blocks (ops/pitch.py),
-    # so its DFT/power/ACF intermediates hold ~150 MB regardless of length
-    # (unscanned, 4 h materialized ~5-6 GB and the bench had to cap pitch at
-    # 1 h/call) and the ~5-6 ms fixed per-call cost amortizes 4x further.
+    # Pitch dispatches the SAME 4 h signal as the headline pipeline. On the
+    # fused-kernel default the whole track is ONE kernel sweep (VMEM
+    # intermediates, grid-blocked internally — ops/pallas_view.py); the XLA
+    # fallback scans over SCAN_BLOCK_FRAMES row blocks to bound its
+    # materialized DFT/power/ACF intermediates at ~150 MB.
     pitch_seconds = seconds
     pn = int(pitch_seconds * sr)
     pitch_frames = 1 + (pn - 320) // 160
@@ -190,19 +185,55 @@ def main() -> None:
     vad_gate = block.vad[:pitch_frames]
     f0, _ = pitch_fn(sig_p, vad_gate, np.float32(0.3))  # compile/warm
     jax.block_until_ready(f0)
-    tails = []
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        f0, conf = pitch_fn(sig_p, vad_gate, np.float32(0.3))
-        tails.append(f0[-1] + conf[-1])
-    _ = float(jax.device_get(jnp.stack(tails).sum()))
-    pitch_pipelined = (time.perf_counter() - t0) / reps
+
+    def measure_pitch() -> float:
+        tails = []
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            f0, conf = pitch_fn(sig_p, vad_gate, np.float32(0.3))
+            tails.append(f0[-1] + conf[-1])
+        _ = float(jax.device_get(jnp.stack(tails).sum()))
+        return (time.perf_counter() - t0) / reps
+
+    # Interleaved measurement rounds: features/pitch alternate so tunnel or
+    # clock drift lands on both metrics equally.
+    feat_times, pitch_times = [], []
+    for _ in range(rounds):
+        feat_times.append(measure_features())
+        pitch_times.append(measure_pitch())
+
+    # Serialized per-dispatch latency (previous methodology): one dispatch,
+    # one sync, one scalar fetch — includes both tunnel round-trips.
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        block, _ = pipe.process_signal_device(sig, state0)
+        jax.block_until_ready(block)
+        _ = int(jax.device_get(block.vad[-1]))
+        times.append(time.perf_counter() - t0)
+    serialized = min(times)
     t0 = time.perf_counter()
     f0, conf = pitch_fn(sig_p, vad_gate, np.float32(0.3))
     jax.block_until_ready(f0)
     _ = float(jax.device_get(f0[-1]))
     pitch_serialized = time.perf_counter() - t0
-    pitch_best = min(pitch_pipelined, pitch_serialized)
+
+    def stats(samples, serial) -> dict:
+        s = sorted(samples)
+        med = s[len(s) // 2]
+        best = min(s[0], serial)
+        return {
+            "best": best,
+            "median": med,
+            "spread_pct": 100.0 * (s[-1] - s[0]) / med if med else 0.0,
+        }
+
+    fstats = stats(feat_times, serialized)
+    pstats = stats(pitch_times, pitch_serialized)
+    pipelined = min(feat_times)
+    best = fstats["best"]
+    audio_sec_per_sec = seconds / best
+    pitch_best = pstats["best"]
     pitch_audio_sec_per_sec = pitch_seconds / pitch_best
     voiced_f0 = np.asarray(jax.device_get(f0))
     voiced_f0 = voiced_f0[voiced_f0 > 0]
@@ -291,8 +322,18 @@ def main() -> None:
                 "best_time_s": round(best, 5),
                 "pipelined_time_s": round(pipelined, 5),
                 "serialized_time_s": round(serialized, 5),
+                # median-of-rounds statistics (VERDICT r3 ask #3): the
+                # defensible headline for docs; "value" stays the best
+                # round for r1-r3 comparability
+                "value_median": round(seconds / fstats["median"], 1),
+                "median_time_s": round(fstats["median"], 5),
+                "spread_pct": round(fstats["spread_pct"], 1),
+                "rounds": rounds,
+                "reps_per_round": reps,
                 "pitch_audio_sec_per_sec": round(pitch_audio_sec_per_sec, 1),
                 "pitch_time_s": round(pitch_best, 5),
+                "pitch_median": round(pitch_seconds / pstats["median"], 1),
+                "pitch_spread_pct": round(pstats["spread_pct"], 1),
                 "pitch_acf_nmse": float(f"{pitch_acf_nmse:.3e}"),
                 "pitch_f0_impl_match": round(pitch_f0_match, 4),
                 "pitch_voiced_frames": int(voiced_f0.size),

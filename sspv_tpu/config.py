@@ -103,6 +103,19 @@ class Config:
     # History window for the adaptive-VAD trailing mean; the reference uses
     # deque(maxlen=256) (engine.py:96-97).
     VAD_HISTORY_LEN = 256
+    # Opt-in sustained-noise release: multiplies the ADAPTIVE energy
+    # threshold (ops/vad.py:streaming_vad). 1.0 (default) = reference-exact
+    # adaptive semantics; >1 (e.g. 2.0) lets the detector release during
+    # stationary babble/hum, where the reference's threshold tracks the
+    # noise mean and `vad_initial |= vad_adaptive` otherwise never clears
+    # (measured: docs/vad_eval_r4.jsonl). NOT reference behavior.
+    VAD_ADAPTIVE_ENERGY_MARGIN = 1.0
+    # Opt-in noise-robust composite: "or" (reference semantics —
+    # `vad_initial |= vad_adaptive`, can only ADD positives) or "and"
+    # (REQUIRE the relative-energy adaptive gate; releases under tonal
+    # babble/hum where every fixed gate passes the noise — per-gate
+    # measurements in docs/vad_eval_r4.jsonl). NOT reference behavior.
+    VAD_COMPOSITE_MODE = "or"
     # Frame-block bucket sizes used by the streaming engine so jit sees a
     # small, fixed set of shapes (see runtime/engine.py). Few buckets on
     # purpose: each shape is a separate XLA compile.

@@ -56,7 +56,15 @@ _DN = (((1,), (0,)), ((), ()))
 def _pick_block_frames(f: int) -> int:
     """Grid-step frame count: ``Config.TPU_VIEW_BLOCK_FRAMES`` (r3 sweep
     winner 1024), shrunk to the padded frame count for short inputs. Always
-    a multiple of 8 (f32 sublane tile)."""
+    a multiple of 8 (f32 sublane tile).
+
+    Read at TRACE time: jitted callers (``pitch_track_signal``, the
+    pipeline's signal programs) bake the value into the compiled program,
+    so flipping the knob after a shape has been traced silently keeps the
+    old grid step for that shape — set it (env ``RTP_TPU_VIEW_BLOCK_FRAMES``)
+    before the first dispatch/warmup. Non-jitted callers re-read it per
+    call, but their inner ``_fused_*_call`` still caches per
+    ``block_frames`` value."""
     from ..config import Config
 
     bf = int(getattr(Config, "TPU_VIEW_BLOCK_FRAMES", 1024) or 1024)

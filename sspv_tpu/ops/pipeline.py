@@ -59,6 +59,17 @@ class FeatureConfig(NamedTuple):
     entropy_voice_max: float = 0.65
     use_adaptive_vad: bool = True
     adaptive_alpha: float = 3.0  # engine passes ADAPTIVE_VAD_ENERGY_K; clamped to 0.99
+    # Opt-in sustained-noise knobs (ops/vad.py streaming_vad; NOT part of
+    # the reference contract — leave at defaults for parity). Per-gate
+    # measurements behind both: docs/vad_eval_r4.jsonl.
+    # adaptive_margin multiplies the adaptive energy threshold (1.0 =
+    # reference-exact, traced without the multiply; >1 tightens the
+    # adaptive gate — helps white-noise precision slightly).
+    adaptive_margin: float = 1.0
+    # composite_mode "or" (reference: vad_initial |= vad_adaptive) or
+    # "and" (REQUIRE the relative-energy adaptive gate — the only gate in
+    # the feature set that releases under tonal babble/hum).
+    composite_mode: str = "or"
     hangover_on: int = 3
     release_off: int = 2
     history_len: int = 256
@@ -127,6 +138,12 @@ class FeatureConfig(NamedTuple):
             entropy_voice_max=float(c.SPECTRAL_ENTROPY_VOICE_MAX),
             use_adaptive_vad=bool(c.USE_ADAPTIVE_VAD),
             adaptive_alpha=float(c.ADAPTIVE_VAD_ENERGY_K),
+            adaptive_margin=float(
+                getattr(c, "VAD_ADAPTIVE_ENERGY_MARGIN", 1.0) or 1.0
+            ),
+            composite_mode=str(
+                getattr(c, "VAD_COMPOSITE_MODE", "or") or "or"
+            ).lower(),
             hangover_on=int(c.VAD_HANGOVER_ON),
             release_off=int(c.VAD_RELEASE_OFF),
             history_len=int(getattr(c, "VAD_HISTORY_LEN", 256)),
@@ -366,6 +383,8 @@ class FeaturePipeline:
             entropy_voice_max=c.entropy_voice_max,
             use_adaptive=c.use_adaptive_vad,
             adaptive_alpha=c.adaptive_alpha,
+            adaptive_margin=c.adaptive_margin,
+            composite_mode=c.composite_mode,
             hangover_on=c.hangover_on,
             release_off=c.release_off,
             history_len=c.history_len,
@@ -755,24 +774,63 @@ class FeaturePipeline:
             valid = None if true_n is None else jnp.arange(n, dtype=jnp.int32) < true_n
             return self._vad_stage(feats, state, valid)
 
-        nb = -(-n // b)
-        pad_rows = nb * b + 1 - (n + 1)
-        if pad_rows:
-            rows = jnp.pad(rows, ((0, pad_rows), (0, 0)))
+        # Long signals. The feature stage is frame-local (embarrassingly
+        # parallel); only the VAD composite needs the carried state — and
+        # that composite is a parallel prefix, chunk-invariant by contract
+        # (tests/test_vad_streaming.py). r3 ran features INSIDE the
+        # VadState-carrying scan, serializing the matmuls across ~44
+        # sequential steps per 4 h call; r4 hoists them out (the top ask of
+        # VERDICT r3 — decomposition in docs/benchmarks.md "roofline").
+        if self._use_view_kernel:
+            # The fused kernel keeps every (F, n_fft)-scale intermediate in
+            # VMEM and grid-blocks internally, so no outer scan is needed:
+            # one kernel sweep over all frames. HBM holds only the rows view
+            # and the (F, 5+ceps)-scale feature columns.
+            feats = self._features_from_rows(rows)
+        else:
+            # XLA path: a features-only scan still bounds the materialized
+            # (F, n_fft) DFT/power intermediates at one block (~150 MB)
+            # regardless of length — but the carry is gone, so each step is
+            # pure matmul work.
+            nb = -(-n // b)
+            pad_rows = nb * b + 1 - (n + 1)
+            if pad_rows:
+                rows = jnp.pad(rows, ((0, pad_rows), (0, 0)))
+            starts = jnp.arange(nb, dtype=jnp.int32) * b
+
+            def step(_, start):
+                rb = jax.lax.dynamic_slice(rows, (start, 0), (b + 1, hop))
+                return 0, self._features_from_rows(rb)
+
+            _, feats_b = jax.lax.scan(step, jnp.int32(0), starts)
+            feats = {
+                k: v.reshape(nb * b, *v.shape[2:])[:n]
+                for k, v in feats_b.items()
+            }
+        # ONE full-length VAD pass. Pad the per-frame features to a multiple
+        # of history_len so the blocked trailing-sum impl (requires
+        # f % history_len == 0) serves the production default; padded frames
+        # are masked invalid and sliced off. Bit-identity with the r3
+        # per-block construction holds because the blocked sums' window
+        # decomposition is aligned to stream position mod history_len in
+        # both forms (SCAN_BLOCK_FRAMES is a multiple of history_len) and
+        # the hangover cummax is associative-exact (tests enforce equality
+        # to the sequential oracle under any chunking).
+        h = c.history_len
+        f_pad = -(-n // h) * h
         limit = jnp.int32(n) if true_n is None else true_n
-        valid = (jnp.arange(nb * b, dtype=jnp.int32) < limit).reshape(nb, b)
-        starts = jnp.arange(nb, dtype=jnp.int32) * b
-
-        def step(st, inp):
-            start, va = inp
-            rb = jax.lax.dynamic_slice(rows, (start, 0), (b + 1, hop))
-            feats = self._features_from_rows(rb)
-            blk, new_st = self._vad_stage(feats, st, va)
-            return new_st, blk
-
-        state, blocks = jax.lax.scan(step, state, (starts, valid))
-        flat = FeatureBlock(*(v.reshape(nb * b, *v.shape[2:])[:n] for v in blocks))
-        return flat, state
+        if f_pad != n:
+            feats = {
+                k: jnp.pad(v, ((0, f_pad - n),) + ((0, 0),) * (v.ndim - 1))
+                for k, v in feats.items()
+            }
+        valid = None
+        if f_pad != n or true_n is not None:
+            valid = jnp.arange(f_pad, dtype=jnp.int32) < limit
+        block, new_state = self._vad_stage(feats, state, valid)
+        if f_pad != n:
+            block = FeatureBlock(*(v[:n] for v in block))
+        return block, new_state
 
     def _empty_block(self) -> FeatureBlock:
         return FeatureBlock(
@@ -814,20 +872,42 @@ class FeaturePipeline:
         b = self.SCAN_BLOCK_FRAMES
         if f <= b:
             return self._process_block_impl(frames, state, None)
-        nb = -(-f // b)
-        pad = nb * b - f
-        if pad:
-            frames = jnp.pad(frames, ((0, pad), (0, 0)))
-        valid = (jnp.arange(nb * b, dtype=jnp.int32) < f).reshape(nb, b)
+        # Same hoist as _process_signal_view_impl: frame-local features out
+        # of the VadState scan, then ONE full-length parallel-prefix VAD.
+        if self._use_pallas:
+            # fused_features grid-blocks internally (256-frame steps, all
+            # intermediates in VMEM) — no outer scan needed.
+            feats = self._features(frames)
+        else:
+            nb = -(-f // b)
+            pad = nb * b - f
+            if pad:
+                frames = jnp.pad(frames, ((0, pad), (0, 0)))
 
-        def step(st, inp):
-            fr, va = inp
-            blk, new_st = self._process_block_impl(fr, st, va)
-            return new_st, blk
+            def step(_, fr):
+                return 0, self._features(fr)
 
-        state, blocks = jax.lax.scan(step, state, (frames.reshape(nb, b, -1), valid))
-        flat = FeatureBlock(*(x.reshape(nb * b, *x.shape[2:])[:f] for x in blocks))
-        return flat, state
+            _, feats_b = jax.lax.scan(
+                step, jnp.int32(0), frames.reshape(nb, b, -1)
+            )
+            feats = {
+                k: v.reshape(nb * b, *v.shape[2:])[:f]
+                for k, v in feats_b.items()
+            }
+        h = c.history_len
+        f_pad = -(-f // h) * h
+        if f_pad != f:
+            feats = {
+                k: jnp.pad(v, ((0, f_pad - f),) + ((0, 0),) * (v.ndim - 1))
+                for k, v in feats.items()
+            }
+        valid = None
+        if f_pad != f:
+            valid = jnp.arange(f_pad, dtype=jnp.int32) < jnp.int32(f)
+        block, new_state = self._vad_stage(feats, state, valid)
+        if f_pad != f:
+            block = FeatureBlock(*(v[:f] for v in block))
+        return block, new_state
 
     # -- public API ----------------------------------------------------------
 

@@ -387,7 +387,13 @@ def pitch_track_signal(
 
         rows = x[: (n + 1) * hop].reshape(n + 1, hop)
         b = SCAN_BLOCK_FRAMES if scan_block < 0 else int(scan_block)
-        if b and n > b:
+        # The scan exists purely to bound the XLA path's materialized
+        # (F, n_fft)/(F, lags) intermediates (see SCAN_BLOCK_FRAMES). The
+        # fused kernel keeps those in VMEM and grid-blocks internally, so
+        # scanning it only adds sequential-step overhead (r3 did; the r4
+        # roofline decomposition in docs/benchmarks.md measured the cost) —
+        # one kernel sweep over all frames instead.
+        if b and n > b and not use_fused:
             # Block the row axis with one-row overlap (frame i spans rows
             # i and i+1), exactly like _process_signal_view_impl; frames
             # past n land in the padded tail and are sliced off below.

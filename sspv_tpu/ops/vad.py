@@ -384,6 +384,8 @@ def streaming_vad(
     history_len: int = 256,
     valid: jnp.ndarray | None = None,
     trailing_impl: str = "conv",
+    adaptive_margin: float = 1.0,
+    composite_mode: str = "or",
 ) -> tuple[jnp.ndarray, jnp.ndarray, VadState]:
     """The engine's per-frame composite VAD over a block of frames.
 
@@ -425,6 +427,16 @@ def streaming_vad(
     a = jnp.float32(alpha)
     th_e = jnp.maximum(jnp.float32(min_energy_threshold), a * e_hist_mean + (1 - a) * e)
     th_z = jnp.minimum(jnp.float32(max_zcr_threshold), a * z_hist_mean + (1 - a) * z)
+    # Opt-in sustained-noise release (Config.VAD_ADAPTIVE_ENERGY_MARGIN,
+    # NOT reference semantics): the adaptive energy threshold tracks the
+    # trailing mean, so under stationary noise ~half the frames sit above
+    # it and `vad_initial |= vad_adaptive` never releases (measured:
+    # docs/vad_eval_r4.jsonl babble/hum rows). Requiring E > margin*th_e
+    # (margin > 1) makes frames at the noise mean fail the adaptive gate.
+    # The default 1.0 takes the static branch below — reference-exact
+    # traces are untouched.
+    if float(adaptive_margin) != 1.0:
+        th_e = th_e * jnp.float32(adaptive_margin)
     vad_adaptive = (e > th_e) & (z < th_z)
 
     energy_gate = e > jnp.float32(energy_threshold)
@@ -432,7 +444,19 @@ def streaming_vad(
     entropy_gate = h < jnp.float32(entropy_voice_max)
     vad_initial = energy_gate & (zcr_gate | entropy_gate)
     if use_adaptive:
-        vad_initial = vad_initial | vad_adaptive
+        if composite_mode == "and":
+            # Opt-in noise-robust composite (Config.VAD_COMPOSITE_MODE,
+            # NOT reference semantics): REQUIRE the adaptive gate. The
+            # reference's OR can only add positives, and its fixed gates
+            # cannot separate tonal babble/hum from voiced speech (the
+            # absolute energy gate passes any realistic amplitude; tonal
+            # noise has low entropy AND low zcr — per-gate measurements in
+            # docs/vad_eval_r4.jsonl). The adaptive energy threshold tracks
+            # the trailing mean, which stationary noise sits well below
+            # (median E/th ~0.33 at 5 dB), so ANDing it releases there.
+            vad_initial = vad_initial & vad_adaptive
+        else:
+            vad_initial = vad_initial | vad_adaptive
 
     if valid is not None:
         vad_initial_masked = vad_initial & valid

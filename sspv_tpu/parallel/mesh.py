@@ -70,6 +70,14 @@ class BatchPipeline:
     ``process_batch``: (B, L) signals, B sharded over "data", each signal's
     frame axis sharded over "seq". ``process_long``: one (L,) signal with
     frames sharded over the whole mesh.
+
+    Every program here lowers the XLA view path — ``view_kernel`` is forced
+    off (see ``__init__``). Consequently the CLAUDE.md bit-identity
+    invariant for ``process_batch_masked_pitch`` vs its two-call
+    construction is scoped SAME-PATH: it holds against two-call programs
+    built from this instance's (kernel-off) pipeline; confidence low bits
+    may differ vs a single-chip kernel-default ``FeaturePipeline`` (F0
+    decisions agree away from ACF ties — tools/viewkernel_ab.py).
     """
 
     def __init__(self, mesh: Mesh, cfg: FeatureConfig | None = None):
@@ -80,6 +88,16 @@ class BatchPipeline:
         # under a with_sharding_constraint on real multi-chip meshes. The
         # single-chip FeaturePipeline keeps its own (kernel) default.
         base = cfg or FeatureConfig()
+        if base.view_kernel and cfg is not None:
+            # an explicitly passed cfg opting IN must not be dropped
+            # silently (ADVICE r3) — the caller sees why their knob is inert
+            import logging
+
+            logging.getLogger(__name__).info(
+                "BatchPipeline: view_kernel=True overridden to False — "
+                "Pallas kernels cannot be GSPMD-partitioned over a mesh; "
+                "sharded programs use the XLA view path"
+            )
         self.pipe = FeaturePipeline(base._replace(view_kernel=False))
         self._batch_jit = {}
 

@@ -236,7 +236,6 @@ def test_view_block_frames_knob_multi_grid_step():
     default every suite-sized input fits a single grid step."""
     from sspv_tpu.config import Config
     from sspv_tpu.ops.pallas_view import _pick_block_frames
-    from sspv_tpu.ops.pitch import pitch_track_signal
 
     rng = np.random.default_rng(41)
     sig = rng.normal(0, 2000, 160 * 514).astype(np.float32)  # 513 frames
@@ -260,18 +259,37 @@ def test_view_block_frames_knob_multi_grid_step():
             assert _nmse(many[k], one[k]) < 1e-9, k
 
         # pitch kernel reads the same knob: F0 decisions must agree with a
-        # single-step run away from ACF ties
+        # single-step run away from ACF ties. Call fused_view_pitch DIRECTLY
+        # (like the features half above): pitch_track_signal is @jax.jit'd
+        # and reads the knob at trace time, so a second call at a new knob
+        # value would be a jit-cache hit reusing the old grid step — the
+        # r3 version of this assertion was vacuous for exactly that reason
+        # (ADVICE r3). _fused_pitch_call keys on block_frames (static), so
+        # each direct call compiles its own grid partitioning.
+        from sspv_tpu.ops.pallas_view import fused_view_pitch
+        from sspv_tpu.ops.pitch import _lag_band
+        from sspv_tpu.ops.time_features import _acf_dft_bases_merged
+
         t = np.arange(3 * 16000) / 16000
         psig = np.where(
             ((t * 2).astype(int) % 4) == 1,
             5000 * np.sin(2 * np.pi * 130 * t),
             rng.normal(0, 40, t.size),
         ).astype(np.float32)
-        n = 1 + (psig.size - 320) // 160
-        vad = np.ones(n, np.int32)
-        f0_m, _ = pitch_track_signal(psig, vad, use_kernel=True)
+        lag_min, lag_max = _lag_band(16000, 50.0, 400.0, 320)
+        merged, nyq_b, inv_live, inv_nyq = _acf_dft_bases_merged(320, lag_max)
+        pkw = dict(
+            merged=merged, nyq_b=nyq_b, inv_live=inv_live, inv_nyq=inv_nyq,
+            lag_min=lag_min, lag_max=lag_max, sample_rate=16000,
+        )
+        prows = _rows(psig)
+        n = prows.shape[0] - 1
+        assert _pick_block_frames(n) == 104  # knob still 100: 3 grid steps
+        f0_m, conf_m = fused_view_pitch(prows, **pkw)
         Config.TPU_VIEW_BLOCK_FRAMES = 2048
-        f0_1, _ = pitch_track_signal(psig, vad, use_kernel=True)
+        assert _pick_block_frames(n) == 304  # single grid step
+        f0_1, conf_1 = fused_view_pitch(prows, **pkw)
         assert np.mean(np.asarray(f0_m) == np.asarray(f0_1)) >= 0.999
+        assert _nmse(np.asarray(conf_m), np.asarray(conf_1)) < 1e-9
     finally:
         Config.TPU_VIEW_BLOCK_FRAMES = base

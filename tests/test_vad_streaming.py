@@ -351,3 +351,91 @@ def test_streaming_vad_empty_masked_block():
     assert vad.shape == (0,)
     assert int(new_state.count) == int(state.count)
     assert int(new_state.last_voiced) == int(state.last_voiced)
+
+
+def test_adaptive_margin_optin_releases_under_stationary_noise():
+    """Opt-in ``adaptive_margin`` (Config.VAD_ADAPTIVE_ENERGY_MARGIN):
+    under stationary sub-fixed-threshold noise the reference-exact adaptive
+    gate fires on ~half the frames (its energy threshold tracks the noise
+    mean) and the composite never releases; a margin > 1 releases.
+    margin=1.0 must be the reference-exact no-op path."""
+    rng = np.random.default_rng(11)
+    f = 512
+    # steady "hum": below the fixed energy gate (1000), low ZCR (passes the
+    # zcr gate), high entropy is irrelevant once the fixed gate fails
+    energy = (500 + 5 * rng.standard_normal(f)).astype(np.float32)
+    # zcr must FLUCTUATE around its mean: the adaptive zcr threshold tracks
+    # the trailing mean, so a constant zcr sits exactly ON the threshold
+    # (z < th false) and the adaptive gate never fires at all
+    zcr = (0.1 + 0.02 * rng.standard_normal(f)).astype(np.float32)
+    entropy = np.full(f, 0.9, np.float32)
+    kw = dict(
+        energy_threshold=1000.0, zcr_threshold=0.3, entropy_voice_max=0.65,
+        use_adaptive=True, adaptive_alpha=3.0,
+    )
+
+    state = vad_ops.initial_vad_state()
+    vad_ref, _, _ = vad_ops.streaming_vad(
+        jnp.asarray(energy), jnp.asarray(zcr), jnp.asarray(entropy),
+        state, **kw,
+    )
+    vad_one, _, _ = vad_ops.streaming_vad(
+        jnp.asarray(energy), jnp.asarray(zcr), jnp.asarray(entropy),
+        state, adaptive_margin=1.0, **kw,
+    )
+    vad_m, _, _ = vad_ops.streaming_vad(
+        jnp.asarray(energy), jnp.asarray(zcr), jnp.asarray(entropy),
+        state, adaptive_margin=2.0, **kw,
+    )
+    # explicit 1.0 == default (bit-identical: the multiply is not traced)
+    np.testing.assert_array_equal(np.asarray(vad_one), np.asarray(vad_ref))
+    # reference semantics: mostly stuck voiced on stationary noise (the
+    # adaptive gate fires on ~1/4 of frames — E and Z each beat their
+    # tracking thresholds ~half the time — and the 5-frame hangover bridges
+    # most gaps)
+    assert float(np.asarray(vad_ref)[64:].mean()) > 0.5
+    # margin 2.0: threshold 2x the trailing mean -> releases completely
+    assert float(np.asarray(vad_m)[64:].mean()) == 0.0
+
+
+def test_composite_and_mode_releases_under_tonal_noise():
+    """Opt-in ``composite_mode="and"`` (Config.VAD_COMPOSITE_MODE): tonal
+    noise passes every FIXED gate (energy above the absolute threshold, low
+    zcr, low entropy — the babble collapse measured in
+    docs/vad_eval_r4.jsonl), so reference semantics stay voiced forever;
+    requiring the relative-energy adaptive gate releases, while genuinely
+    loud bursts (energy above the trailing mean) still fire."""
+    rng = np.random.default_rng(5)
+    f = 768
+    # sustained tonal noise: loud in absolute terms. Periodic louder
+    # "speech" bursts inflate the trailing mean the adaptive threshold
+    # tracks (as real speech does in the eval audio), so noise frames sit
+    # well below it — on a PURE noise stream the adaptive gate fires on
+    # ~25% of frames (E and Z each beat their own tracking threshold ~half
+    # the time) and "and" would only partially release.
+    energy = (50000 + 500 * rng.standard_normal(f)).astype(np.float32)
+    zcr = (0.05 + 0.01 * rng.standard_normal(f)).astype(np.float32)
+    bursts = [(100, 110), (250, 260), (400, 420), (550, 560)]
+    for lo, hi in bursts:
+        energy[lo:hi] *= 8.0
+        zcr[lo:hi] = 0.02  # voiced-like, clearly under the tracking mean
+    entropy = np.full(f, 0.3, np.float32)  # low entropy == tonal
+    kw = dict(
+        energy_threshold=1000.0, zcr_threshold=0.3, entropy_voice_max=0.65,
+        use_adaptive=True, adaptive_alpha=3.0,
+    )
+    state = vad_ops.initial_vad_state()
+    args = (jnp.asarray(energy), jnp.asarray(zcr), jnp.asarray(entropy), state)
+    vad_ref, _, _ = vad_ops.streaming_vad(*args, **kw)
+    vad_and, _, _ = vad_ops.streaming_vad(*args, composite_mode="and", **kw)
+    # reference: every fixed gate passes the noise -> voiced throughout
+    assert float(np.asarray(vad_ref).mean()) == 1.0
+    # "and": released during flat noise spans (away from bursts+hangover)...
+    flat = np.concatenate([
+        np.asarray(vad_and)[150:245],
+        np.asarray(vad_and)[300:395],
+        np.asarray(vad_and)[450:545],
+    ])
+    assert float(flat.mean()) < 0.1
+    # ...but the loud bursts still fire
+    assert float(np.asarray(vad_and)[402:418].mean()) > 0.9
