@@ -72,6 +72,31 @@ def _pick_block_frames(f: int) -> int:
     return bf if f >= bf else max(8, -(-f // 8) * 8)
 
 
+def _seam_rows(x: jnp.ndarray, f: int, block_frames: int) -> jnp.ndarray:
+    """The per-grid-step seam rows: row ``(i+1)*block_frames`` of the rows
+    view, as a tiny ``(nb, hop)`` strided gather (~1 MB for 4 h of audio).
+
+    Grid step i's one-row-shifted "bot" half needs exactly one row beyond
+    its own block. r4's first seam design padded the WHOLE rows array with
+    8 headroom rows — a full ~920 MB HBM copy (4.5 ms/call in the trace)
+    to provide values that matter only for the final frame. The strided
+    gather provides the same rows for the cost of reading nb scattered
+    tiles. A missing last seam row (f not a block multiple — every frame
+    that would read it is padding and is sliced off) is zero-filled.
+
+    Shaped ``(nb, 1, hop)``: Mosaic requires a block's last two dims to be
+    (8, 128)-divisible OR equal to the array dims — a (1, hop) block over
+    an (nb, hop) array fails that check, while a (1, 1, hop) block over
+    (nb, 1, hop) passes (leading grid dims are unconstrained)."""
+    nb = -(-f // block_frames)
+    seams = x[block_frames::block_frames][:nb]
+    if int(seams.shape[0]) < nb:
+        seams = jnp.pad(
+            seams, ((0, nb - int(seams.shape[0])), (0, 0))
+        )
+    return seams[:, None, :]
+
+
 def _split_bf16(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Two-term bf16 decomposition: x ~= f32(hi) + f32(lo)."""
     hi = x.astype(jnp.bfloat16)
@@ -92,8 +117,8 @@ def _dot3(a_hi, a_lo, b_hi, b_lo) -> jnp.ndarray:
 
 
 def _view_kernel(
-    top_ref,
-    bot_ref,
+    rows_ref,
+    seam_ref,
     w2_ref,
     nyqc_ref,
     mhi_ref,
@@ -113,8 +138,19 @@ def _view_kernel(
     half: int,
 ):
     # Frame tile: frame i = concat(rows[i], rows[i+1]) — assembled in VMEM,
-    # never written to HBM (the whole point of this kernel).
-    ft = jnp.concatenate([top_ref[:], bot_ref[:]], axis=1)  # (BF, frame)
+    # never written to HBM (the whole point of this kernel). The r4
+    # roofline traced ~21 ms/call of HBM copies just BUILDING the r3
+    # kernel's top/bot operands (a full slice plus two ~920 MB pads per 4 h
+    # call — docs/benchmarks.md), so the kernel reads the UNPADDED
+    # (F+1, hop) rows view directly: grid step i gets its bf-row block plus
+    # ITS seam row (row (i+1)*bf, pre-gathered into a tiny (nb, hop) array
+    # by _seam_rows), and the one-row-shifted "bot" half is a VMEM sublane
+    # shift (~0.7 MB), not an HBM materialization. This also halves input
+    # DMA (each row was previously fetched twice: as a top row and again
+    # as a bot row).
+    top = rows_ref[:]
+    bot = jnp.concatenate([rows_ref[1:], seam_ref[0]], axis=0)
+    ft = jnp.concatenate([top, bot], axis=1)  # (BF, frame)
 
     # Short-time energy: sum((x*w)^2) == sum(x^2 * w^2) (time_features.py:28);
     # full-f32 VPU reduction (more accurate than the XLA path's HIGH matvec).
@@ -169,8 +205,8 @@ def _view_kernel(
                      "block_frames"),
 )
 def _fused_view_call(
-    top,
-    bot,
+    rows,
+    seams,
     w2_row,
     nyqc_row,
     merged,
@@ -185,8 +221,11 @@ def _fused_view_call(
     num_ceps: int,
     block_frames: int,
 ):
-    f_pad = top.shape[0]
-    grid = (f_pad // block_frames,)
+    # rows is the UNPADDED (f+1, hop) view (the last main block is partial
+    # — Pallas masks the tail reads; those lanes feed only discarded
+    # frames); seams is the (nb, hop) per-step seam gather (_seam_rows)
+    nb = seams.shape[0]
+    grid = (nb,)
     interpret, vmem_spec, const = block_specs()
 
     # Constant-operand bf16 splits, outside the kernel (tiny; XLA fuses or
@@ -199,19 +238,23 @@ def _fused_view_call(
         _view_kernel, frame_size=frame_size, half=half
     )
     n_fft = 2 * half
+    # outputs sized to the TRUE frame count: the partial final write block
+    # is masked by Pallas, so no (f_pad -> f) slice (75 MB read+write on a
+    # 4 h mfcc) ever materializes downstream
+    f = rows.shape[0] - 1
     out_shapes = (
-        jax.ShapeDtypeStruct((f_pad, 1), jnp.float32),  # energy
-        jax.ShapeDtypeStruct((f_pad, 1), jnp.float32),  # zcr
-        jax.ShapeDtypeStruct((f_pad, 1), jnp.float32),  # entropy
-        jax.ShapeDtypeStruct((f_pad, num_ceps), jnp.float32),  # mfcc
+        jax.ShapeDtypeStruct((f, 1), jnp.float32),  # energy
+        jax.ShapeDtypeStruct((f, 1), jnp.float32),  # zcr
+        jax.ShapeDtypeStruct((f, 1), jnp.float32),  # entropy
+        jax.ShapeDtypeStruct((f, num_ceps), jnp.float32),  # mfcc
     )
     hop = frame_size // 2
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            vmem_spec((block_frames, hop), lambda i: (i, 0)),  # top
-            vmem_spec((block_frames, hop), lambda i: (i, 0)),  # bot
+            vmem_spec((block_frames, hop), lambda i: (i, 0)),  # rows
+            vmem_spec((1, 1, hop), lambda i: (i, 0, 0)),  # seam row for i
             const((1, frame_size)),  # w2
             const((1, frame_size)),  # nyq col
             const((frame_size, n_fft)),  # merged hi
@@ -231,14 +274,14 @@ def _fused_view_call(
         ),
         out_shape=out_shapes,
         interpret=interpret,
-    )(top, bot, w2_row, nyqc_row, mhi, mlo, fbhi, fblo,
+    )(rows, seams, w2_row, nyqc_row, mhi, mlo, fbhi, fblo,
       jnp.asarray(fb_nyq, jnp.float32).reshape(1, num_filters),
       dcthi, dctlo, lifter_row)
 
 
 def _pitch_kernel(
-    top_ref,
-    bot_ref,
+    rows_ref,
+    seam_ref,
     nyqc_ref,
     mhi_ref,
     mlo_ref,
@@ -259,8 +302,13 @@ def _pitch_kernel(
 
     Mirrors ``time_features.autocorrelation_via_dft`` +
     ``pitch._band_peak_pick`` (reference ACF semantics:
-    rtvp/signal_processing/time_features.py:73-76)."""
-    ft = jnp.concatenate([top_ref[:], bot_ref[:]], axis=1)  # raw frames
+    rtvp/signal_processing/time_features.py:73-76). Rows-direct seam-block
+    input (see _view_kernel): the frame tile assembles from the grid
+    step's own row block plus an 8-row seam block, with no top/bot HBM
+    materialization."""
+    top = rows_ref[:]
+    bot = jnp.concatenate([rows_ref[1:], seam_ref[0]], axis=0)
+    ft = jnp.concatenate([top, bot], axis=1)  # raw frames
     ft_hi, ft_lo = _split_bf16(ft)
     m = _dot3(ft_hi, ft_lo, mhi_ref[:], mlo_ref[:])  # (BF, nfft)
     nyq = jnp.sum(ft * nyqc_ref[:], axis=1, keepdims=True)
@@ -288,8 +336,8 @@ def _pitch_kernel(
                      "block_frames"),
 )
 def _fused_pitch_call(
-    top,
-    bot,
+    rows,
+    seams,
     nyqc_row,
     merged,
     inv_live,
@@ -301,10 +349,11 @@ def _fused_pitch_call(
     sample_rate: int,
     block_frames: int,
 ):
-    f_pad = top.shape[0]
-    grid = (f_pad // block_frames,)
+    nb = seams.shape[0]  # unpadded rows + seam gather (see _fused_view_call)
+    grid = (nb,)
     interpret, vmem_spec, const = block_specs()
-    frame_size = top.shape[1] * 2
+    frame_size = rows.shape[1] * 2
+    f = rows.shape[0] - 1  # true frame count (masked partial final write)
     n_fft = merged.shape[1]
     n_lags = inv_live.shape[1]
     hop = frame_size // 2
@@ -320,8 +369,8 @@ def _fused_pitch_call(
         kernel,
         grid=grid,
         in_specs=[
-            vmem_spec((block_frames, hop), lambda i: (i, 0)),  # top
-            vmem_spec((block_frames, hop), lambda i: (i, 0)),  # bot
+            vmem_spec((block_frames, hop), lambda i: (i, 0)),  # rows
+            vmem_spec((1, 1, hop), lambda i: (i, 0, 0)),  # seam row for i
             const((1, frame_size)),  # nyq col
             const((frame_size, n_fft)),  # merged hi
             const((frame_size, n_fft)),  # merged lo
@@ -334,11 +383,11 @@ def _fused_pitch_call(
             vmem_spec((block_frames, 1), lambda i: (i, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((f_pad, 1), jnp.float32),  # f0
-            jax.ShapeDtypeStruct((f_pad, 1), jnp.float32),  # confidence
+            jax.ShapeDtypeStruct((f, 1), jnp.float32),  # f0
+            jax.ShapeDtypeStruct((f, 1), jnp.float32),  # confidence
         ),
         interpret=interpret,
-    )(top, bot, nyqc_row, mhi, mlo, invhi, invlo, inv_nyq_row)
+    )(rows, seams, nyqc_row, mhi, mlo, invhi, invlo, inv_nyq_row)
 
 
 def fused_view_pitch(
@@ -364,17 +413,13 @@ def fused_view_pitch(
     n_lags = int(inv_live.shape[1])
 
     x = jnp.asarray(rows, jnp.float32)
-    top, bot = x[:-1], x[1:]
     block_frames = _pick_block_frames(f)
-    f_pad = -(-f // block_frames) * block_frames
-    if f_pad != f:
-        top = jnp.pad(top, ((0, f_pad - f), (0, 0)))
-        bot = jnp.pad(bot, ((0, f_pad - f), (0, 0)))
+    seams = _seam_rows(x, f, block_frames)
 
     frame_size = int(merged.shape[0])
     f0, conf = _fused_pitch_call(
-        top,
-        bot,
+        x,
+        seams,
         jnp.asarray(np.asarray(nyq_b, np.float32).reshape(1, frame_size)),
         jnp.asarray(merged),
         jnp.asarray(inv_live),
@@ -414,12 +459,8 @@ def fused_view_features(
     num_ceps = int(dct.shape[1])
 
     x = jnp.asarray(rows, jnp.float32)
-    top, bot = x[:-1], x[1:]
     block_frames = _pick_block_frames(f)
-    f_pad = -(-f // block_frames) * block_frames
-    if f_pad != f:
-        top = jnp.pad(top, ((0, f_pad - f), (0, 0)))
-        bot = jnp.pad(bot, ((0, f_pad - f), (0, 0)))
+    seams = _seam_rows(x, f, block_frames)
 
     w = np.asarray(window, np.float64)
     w2_row = jnp.asarray((w * w).astype(np.float32).reshape(1, frame_size))
@@ -427,8 +468,8 @@ def fused_view_features(
         np.asarray(wnyq, np.float32).reshape(1, frame_size)
     )
     energy, zcr, entropy, mfcc = _fused_view_call(
-        top,
-        bot,
+        x,
+        seams,
         w2_row,
         nyqc_row,
         jnp.asarray(wm),

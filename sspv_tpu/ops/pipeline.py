@@ -41,6 +41,13 @@ __all__ = ["FeatureConfig", "FeatureBlock", "FeaturePipeline"]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+# Trace-evidence counter (same pattern as ops/vad.py BLOCKED_TRACE_COUNT):
+# bumped at TRACE time whenever the signal-VIEW implementation — not the
+# materialized-frames path — is compiled into a program. The driver dryrun
+# asserts on a delta across a fresh trace to prove the production 320/160
+# geometry takes the view route under the mesh (VERDICT r3 #7).
+VIEW_TRACE_COUNT = 0
+
 
 class FeatureConfig(NamedTuple):
     """Static configuration snapshot for one pipeline instance."""
@@ -372,11 +379,32 @@ class FeaturePipeline:
     ) -> tuple[FeatureBlock, vad_ops.VadState]:
         """Composite VAD over computed per-frame features (shared tail of the
         frames-based and signal-view paths)."""
+        vad, vad_adaptive, new_state = self._vad_core(
+            feats["energy"], feats["zcr"], feats["entropy"], state, valid
+        )
+        block = FeatureBlock(
+            energy=feats["energy"],
+            zcr=feats["zcr"],
+            entropy=feats["entropy"],
+            mfcc=feats["mfcc"],
+            vad=vad,
+            vad_adaptive=vad_adaptive,
+        )
+        return block, new_state
+
+    def _vad_core(self, energy, zcr, entropy, state, valid):
+        """The single streaming_vad call site: (e, z, h, state, valid) ->
+        (vad, vad_adaptive, new_state). Split from :meth:`_vad_stage` so the
+        hoisted long-signal paths can pad ONLY the three (F,) vectors to the
+        blocked-impl length — the r4 trace showed the old
+        pad-the-whole-feats-dict form spending ~6 ms/call copying the
+        (F, num_ceps) mfcc matrix through a pad + slice + select that VAD
+        never reads (docs/benchmarks.md roofline)."""
         c = self.cfg
-        vad, vad_adaptive, new_state = vad_ops.streaming_vad(
-            feats["energy"],
-            feats["zcr"],
-            feats["entropy"],
+        return vad_ops.streaming_vad(
+            energy,
+            zcr,
+            entropy,
             state,
             energy_threshold=c.energy_threshold,
             zcr_threshold=c.zcr_threshold,
@@ -391,15 +419,6 @@ class FeaturePipeline:
             valid=valid,
             trailing_impl=c.vad_trailing_impl,
         )
-        block = FeatureBlock(
-            energy=feats["energy"],
-            zcr=feats["zcr"],
-            entropy=feats["entropy"],
-            mfcc=feats["mfcc"],
-            vad=vad,
-            vad_adaptive=vad_adaptive,
-        )
-        return block, new_state
 
     # Column layout of the packed feature block (split_packed_block is the
     # inverse; the prefix order is frozen — see PACKED_PREFIX_COLS):
@@ -764,6 +783,8 @@ class FeaturePipeline:
         (traced scalar) marks the real frame count when the signal was padded
         to a bucketed length — frames beyond it are masked out of the VAD
         state so one compiled program serves many signal lengths."""
+        global VIEW_TRACE_COUNT
+        VIEW_TRACE_COUNT += 1
         c = self.cfg
         hop = c.hop_size
         x = jnp.asarray(signal, dtype=jnp.float32)
@@ -807,29 +828,46 @@ class FeaturePipeline:
                 k: v.reshape(nb * b, *v.shape[2:])[:n]
                 for k, v in feats_b.items()
             }
-        # ONE full-length VAD pass. Pad the per-frame features to a multiple
-        # of history_len so the blocked trailing-sum impl (requires
-        # f % history_len == 0) serves the production default; padded frames
-        # are masked invalid and sliced off. Bit-identity with the r3
+        # ONE full-length VAD pass. Pad ONLY the three (F,) gate vectors to
+        # a multiple of history_len so the blocked trailing-sum impl
+        # (requires f % history_len == 0) serves the production default;
+        # padded frames are masked invalid and the decisions sliced back.
+        # mfcc bypasses the pad entirely — VAD never reads it (~6 ms/call
+        # of pad+slice copies in the r4 trace). Bit-identity with the r3
         # per-block construction holds because the blocked sums' window
         # decomposition is aligned to stream position mod history_len in
         # both forms (SCAN_BLOCK_FRAMES is a multiple of history_len) and
         # the hangover cummax is associative-exact (tests enforce equality
         # to the sequential oracle under any chunking).
+        return self._vad_full_length(feats, state, n, true_n)
+
+    def _vad_full_length(self, feats, state, n, true_n=None):
+        """Full-length VAD over hoisted per-frame features: pad e/z/h to the
+        blocked-impl length, one parallel-prefix pass, slice decisions back.
+        Shared tail of the view and frames long-signal paths."""
+        c = self.cfg
         h = c.history_len
         f_pad = -(-n // h) * h
         limit = jnp.int32(n) if true_n is None else true_n
+        e, z, ent = feats["energy"], feats["zcr"], feats["entropy"]
         if f_pad != n:
-            feats = {
-                k: jnp.pad(v, ((0, f_pad - n),) + ((0, 0),) * (v.ndim - 1))
-                for k, v in feats.items()
-            }
+            e, z, ent = (
+                jnp.pad(v, (0, f_pad - n)) for v in (e, z, ent)
+            )
         valid = None
         if f_pad != n or true_n is not None:
             valid = jnp.arange(f_pad, dtype=jnp.int32) < limit
-        block, new_state = self._vad_stage(feats, state, valid)
+        vad, vad_adaptive, new_state = self._vad_core(e, z, ent, state, valid)
         if f_pad != n:
-            block = FeatureBlock(*(v[:n] for v in block))
+            vad, vad_adaptive = vad[:n], vad_adaptive[:n]
+        block = FeatureBlock(
+            energy=feats["energy"],
+            zcr=feats["zcr"],
+            entropy=feats["entropy"],
+            mfcc=feats["mfcc"],
+            vad=vad,
+            vad_adaptive=vad_adaptive,
+        )
         return block, new_state
 
     def _empty_block(self) -> FeatureBlock:
@@ -894,20 +932,7 @@ class FeaturePipeline:
                 k: v.reshape(nb * b, *v.shape[2:])[:f]
                 for k, v in feats_b.items()
             }
-        h = c.history_len
-        f_pad = -(-f // h) * h
-        if f_pad != f:
-            feats = {
-                k: jnp.pad(v, ((0, f_pad - f),) + ((0, 0),) * (v.ndim - 1))
-                for k, v in feats.items()
-            }
-        valid = None
-        if f_pad != f:
-            valid = jnp.arange(f_pad, dtype=jnp.int32) < jnp.int32(f)
-        block, new_state = self._vad_stage(feats, state, valid)
-        if f_pad != f:
-            block = FeatureBlock(*(v[:f] for v in block))
-        return block, new_state
+        return self._vad_full_length(feats, state, f)
 
     # -- public API ----------------------------------------------------------
 

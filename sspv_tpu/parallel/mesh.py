@@ -272,10 +272,11 @@ class BatchPipeline:
         flattened ("data", "seq") mesh — sequence parallelism.
 
         With the 50%-overlap geometry this routes through the signal-view
-        path, so signals past ``SCAN_BLOCK_FRAMES`` frames run the same
-        lax.scan-over-blocks + carried-VadState machinery as single-device
-        ``process_signal_device`` — under the mesh, so the prefix ops' halo
-        and state-carry exchanges lower to collectives. int16 transfers
+        path — the same machinery as single-device
+        ``process_signal_device`` (hoisted frame-local features, one
+        full-length parallel-prefix VAD; past ``SCAN_BLOCK_FRAMES`` frames
+        the XLA feature stage scans carry-less blocks) — under the mesh,
+        so the prefix ops' exchanges lower to collectives. int16 transfers
         as int16 and casts on device (half the bytes)."""
         signal = _as_transfer_dtype(signal)
         if state is None:
