@@ -119,7 +119,12 @@ def main() -> None:
     sig_np = synth_signal(seconds, sr)
 
     pipe = FeaturePipeline(FeatureConfig())
-    sig = jax.device_put(jnp.asarray(sig_np))
+    # Upload the HOST-formed (n+1, hop) rows view (free numpy reshape): the
+    # device program then starts in the tiled 2-D layout instead of paying
+    # an on-device 1-D->2-D relayout copy (~3.7 ms/call in the r4 trace).
+    rows_np = pipe.host_rows_view(sig_np)
+    assert rows_np is not None
+    sig = jax.device_put(jnp.asarray(rows_np))
     state0 = pipe.initial_state()
 
     # warm-up / compile; assert the production-default blocked trailing-sum
@@ -181,7 +186,10 @@ def main() -> None:
     pitch_seconds = seconds
     pn = int(pitch_seconds * sr)
     pitch_frames = 1 + (pn - 320) // 160
-    sig_p = sig[:pn]
+    # same 4 h rows view (pitch_seconds == seconds: the rows cover exactly
+    # pn samples); pitch consumes the 2-D layout natively
+    assert pn == rows_np.size
+    sig_p = sig
     vad_gate = block.vad[:pitch_frames]
     f0, _ = pitch_fn(sig_p, vad_gate, np.float32(0.3))  # compile/warm
     jax.block_until_ready(f0)

@@ -661,6 +661,29 @@ class FeaturePipeline:
     def _window_strictly_positive(self) -> bool:
         return bool(np.all(self._window > 0))
 
+    def host_rows_view(self, sig: np.ndarray) -> np.ndarray | None:
+        """``(n+1, hop)`` HOST rows view of a 1-D host signal — a free numpy
+        reshape (no copy: the slice of a contiguous array is contiguous) —
+        when the 50%-overlap view geometry applies; ``None`` otherwise.
+
+        Uploading rows instead of the flat signal makes the device program
+        start from the tiled 2-D layout: the host→device transfer tiles
+        during the DMA either way, but a 1-D device input pays an explicit
+        on-device relayout copy (``reshape`` of 920 MB, ~3.7 ms and ~1.8 GB
+        of HBM traffic per 4 h call — the #2 op in the r4 device trace,
+        docs/benchmarks.md roofline). Trailing samples beyond ``(n+1)*hop``
+        are dropped exactly as the view path itself drops them."""
+        c = self.cfg
+        if not (
+            c.frame_size == 2 * c.hop_size
+            and sig.ndim == 1
+            and len(sig) >= c.frame_size
+            and self._window_strictly_positive()
+        ):
+            return None
+        n = 1 + (len(sig) - c.frame_size) // c.hop_size
+        return sig[: (n + 1) * c.hop_size].reshape(n + 1, c.hop_size)
+
     def _features_from_rows_parity(self, rows: jnp.ndarray) -> dict:
         """Per-frame features from a ``(F+1, hop)`` signal view via the
         frame-parity decomposition (50%-overlap geometry): even-index frames
@@ -782,13 +805,24 @@ class FeaturePipeline:
         long signals scan over row blocks with one-row overlap. ``true_n``
         (traced scalar) marks the real frame count when the signal was padded
         to a bucketed length — frames beyond it are masked out of the VAD
-        state so one compiled program serves many signal lengths."""
+        state so one compiled program serves many signal lengths.
+
+        ``signal`` may be 1-D samples or the host-formed ``(n+1, hop)`` rows
+        view (:meth:`host_rows_view`): uploading rows directly starts the
+        program in the tiled 2-D layout, skipping the on-device 1-D→2-D
+        relayout copy (~3.7 ms and ~1.8 GB of HBM traffic per 4 h call —
+        the #2 op in the r4 device trace, docs/benchmarks.md roofline).
+        Bit-identical: all downstream arithmetic reads only row contents."""
         global VIEW_TRACE_COUNT
         VIEW_TRACE_COUNT += 1
         c = self.cfg
         hop = c.hop_size
         x = jnp.asarray(signal, dtype=jnp.float32)
-        rows = x[: (n + 1) * hop].reshape(n + 1, hop)
+        if x.ndim == 2:
+            assert x.shape == (n + 1, hop), (x.shape, n, hop)
+            rows = x
+        else:
+            rows = x[: (n + 1) * hop].reshape(n + 1, hop)
         b = self.SCAN_BLOCK_FRAMES
         if n <= b:
             feats = self._features_from_rows(rows)
@@ -893,8 +927,16 @@ class FeaturePipeline:
         framing + features + composite VAD in one compiled program. Long
         signals run as a lax.scan over fixed-size frame blocks with the
         VadState carried (the TPU-native version of the reference's chunked
-        consumer loop, engine.py:229-242)."""
+        consumer loop, engine.py:229-242).
+
+        A 2-D ``(n+1, hop)`` input is the host-formed rows view
+        (:meth:`host_rows_view`) and routes straight to the view path."""
         c = self.cfg
+        if signal.ndim == 2:
+            assert int(signal.shape[1]) * 2 == c.frame_size, signal.shape
+            return self._process_signal_view_impl(
+                signal, state, int(signal.shape[0]) - 1
+            )
         length = int(signal.shape[0])
         if (
             c.frame_size == 2 * c.hop_size
@@ -983,8 +1025,11 @@ class FeaturePipeline:
 
     def _process_signal_masked_impl(self, padded, state, true_n):
         c = self.cfg
-        length = int(padded.shape[0])
-        n = 1 + (length - c.frame_size) // c.hop_size
+        if padded.ndim == 2:  # host-formed rows view (host_rows_view)
+            n = int(padded.shape[0]) - 1
+        else:
+            length = int(padded.shape[0])
+            n = 1 + (length - c.frame_size) // c.hop_size
         return self._process_signal_view_impl(padded, state, n, true_n=true_n)
 
     def process_signal_auto(
@@ -1030,8 +1075,9 @@ class FeaturePipeline:
             target = -(-len(sig) // quantum) * quantum
         if target > len(sig):
             sig = np.pad(sig, (0, target - len(sig)))
+        rows = self.host_rows_view(sig)
         block, new_state = self._signal_masked_jit(
-            jnp.asarray(sig), state, jnp.int32(true_n)
+            jnp.asarray(sig if rows is None else rows), state, jnp.int32(true_n)
         )
         return FeatureBlock(*(x[:true_n] for x in block)), new_state
 
@@ -1203,9 +1249,10 @@ class FeaturePipeline:
         if target > len(sig):
             sig = np.pad(sig, (0, target - len(sig)))
         fn = self._signal_pitch_jit(fmin, fmax)
+        rows = self.host_rows_view(sig)
         block, new_state, f0, conf = fn(
-            jnp.asarray(sig), state, jnp.int32(true_n),
-            np.float32(min_confidence),
+            jnp.asarray(sig if rows is None else rows), state,
+            jnp.int32(true_n), np.float32(min_confidence),
         )
         block = FeatureBlock(*(x[:true_n] for x in block))
         return (
@@ -1263,7 +1310,10 @@ class FeaturePipeline:
             fmin=float(fmin), fmax=float(fmax),
             use_kernel=self._pitch_use_kernel,
         )
-        f0, conf = fn(psig, pvad, np.float32(min_confidence))
+        prows = self.host_rows_view(psig)
+        f0, conf = fn(
+            psig if prows is None else prows, pvad, np.float32(min_confidence)
+        )
         f0 = np.asarray(f0)[:n]
         conf = np.asarray(conf)[:n]
         if n > f0.shape[0]:
@@ -1290,6 +1340,9 @@ class FeaturePipeline:
             sig = np.asarray(signal)
             if sig.dtype != np.int16:
                 sig = sig.astype(np.float32, copy=False)
+            rows = self.host_rows_view(sig)
+            if rows is not None:
+                sig = rows
         return self._signal_jit(sig, state)
 
     def stream(self, chunks, state: vad_ops.VadState | None = None,

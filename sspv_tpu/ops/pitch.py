@@ -293,10 +293,15 @@ def pitch_track_signal(
     use_kernel: bool | None = None,
     scan_block: int = -1,
 ):
-    """VAD-gated pitch track over a whole 1-D signal, entirely on device:
+    """VAD-gated pitch track over a whole signal, entirely on device:
     streaming-style framing (full frames only, engine.py:240-242 semantics)
     + banded-ACF peak picking in one compiled program. ``vad`` is the
     per-frame gate from the main pipeline (``FeatureBlock.vad``).
+
+    ``signal`` is either the raw 1-D samples or the host-formed ``(n+1,
+    hop)`` signal-view rows (``FeaturePipeline.host_rows_view``) — the
+    latter skips the on-device 1-D→2-D relayout on the hop-phase path and
+    is bit-identical (the downstream arithmetic reads only row contents).
 
     This is the scale path (BASELINE.json configs[2]: "autocorrelation
     pitch-period detection on VAD-gated voiced segments"), so the ACF
@@ -321,11 +326,34 @@ def pitch_track_signal(
     parity tests do).
     """
     x = jnp.asarray(signal, dtype=jnp.float32)
-    length = int(x.shape[0])
-    if length < frame_size:
-        z = jnp.zeros((0,), jnp.float32)
-        return z, z
-    n = 1 + (length - frame_size) // hop_size
+    rows_in = None
+    if x.ndim == 2:
+        # (n+1, hop) signal-view rows formed on the HOST (a free reshape of
+        # the contiguous 1-D signal). Uploading this layout directly lets the
+        # device program start from the tiled 2-D layout — the 1-D signal
+        # otherwise pays an on-device relayout copy (~3.7 ms and ~1.8 GB of
+        # HBM traffic per 4 h call; docs/benchmarks.md roofline). Only the
+        # hop-phase DFT path consumes rows; any other configuration flattens
+        # back (a device-side reshape — the rare path).
+        if (
+            acf_impl == "dft"
+            and frame_size == 2 * hop_size
+            and int(x.shape[1]) == hop_size
+        ):
+            rows_in = x
+        else:
+            x = x.reshape(-1)
+    if rows_in is not None:
+        n = int(rows_in.shape[0]) - 1
+        if n < 1:
+            z = jnp.zeros((0,), jnp.float32)
+            return z, z
+    else:
+        length = int(x.shape[0])
+        if length < frame_size:
+            z = jnp.zeros((0,), jnp.float32)
+            return z, z
+        n = 1 + (length - frame_size) // hop_size
     if acf_impl == "dft" and frame_size == 2 * hop_size:
         # Hop-phase fast path (50%-overlap geometry, same trick as the main
         # pipeline's signal-view spectrum): frame i = concat(rows[i],
@@ -385,7 +413,11 @@ def pitch_track_signal(
             )[:, None] * jnp.asarray(inv_nyq)[None, :]
             return _band_peak_pick(acf, lag_min, lag_max, sample_rate)
 
-        rows = x[: (n + 1) * hop].reshape(n + 1, hop)
+        rows = (
+            rows_in
+            if rows_in is not None
+            else x[: (n + 1) * hop].reshape(n + 1, hop)
+        )
         b = SCAN_BLOCK_FRAMES if scan_block < 0 else int(scan_block)
         # The scan exists purely to bound the XLA path's materialized
         # (F, n_fft)/(F, lags) intermediates (see SCAN_BLOCK_FRAMES). The

@@ -301,6 +301,38 @@ def _trailing_means_pair(
     return (m1, m2), (b1, b2)
 
 
+# Lane width of one blocked-cummax row. The flat associative_scan lowers to
+# log2(f) levels of strided odd/even slices — on a (1.44M,) s32 vector those
+# slices are most of the VAD stage's non-matmul device time in the r4 trace
+# (docs/benchmarks.md roofline); the blocked form reduces the recursion to a
+# 256x-smaller problem plus three lane-major passes.
+_CUMMAX_BLOCK = 256
+
+
+def _cummax(seeds: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cummax of a 1-D int32 vector.
+
+    For long multiples of ``_CUMMAX_BLOCK`` (every padded full-length VAD
+    pass: f is padded to a multiple of history_len == 256), uses a
+    two-level block decomposition: an inclusive lane-axis cummax within
+    each ``(f/256, 256)`` row, then a 256x-smaller exclusive cummax over
+    row totals, combined with one elementwise max. max is exactly
+    associative, so the result is BIT-identical to the flat scan (tests
+    assert equality against ``hangover_smooth_scan``). Short or unaligned
+    blocks (streaming buckets) keep the flat ``associative_scan``."""
+    f = seeds.shape[0]
+    if f < 4 * _CUMMAX_BLOCK or f % _CUMMAX_BLOCK:
+        return jax.lax.associative_scan(jnp.maximum, seeds)
+    rows = seeds.reshape(f // _CUMMAX_BLOCK, _CUMMAX_BLOCK)
+    within = jax.lax.cummax(rows, axis=1)
+    totals = within[:, -1]
+    # exclusive cummax of row totals: shift the inclusive form right one row
+    carry = jnp.concatenate(
+        [jnp.full((1,), _NEG_LARGE), jax.lax.cummax(totals, axis=0)[:-1]]
+    )
+    return jnp.maximum(within, carry[:, None]).reshape(f)
+
+
 def hangover_smooth(
     vad_initial: jnp.ndarray,
     last_voiced: jnp.ndarray,
@@ -324,7 +356,7 @@ def hangover_smooth(
     off = max(int(release_off), 0)
     idx = jnp.arange(f, dtype=jnp.int32)
     seeds = jnp.where(vad_initial, idx, _NEG_LARGE)
-    last = jax.lax.associative_scan(jnp.maximum, seeds)
+    last = _cummax(seeds)
     last = jnp.maximum(last, last_voiced)
     d = idx - last
     vad = (d < jnp.int32(on + max(off, 1))).astype(jnp.int32)

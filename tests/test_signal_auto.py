@@ -43,7 +43,7 @@ def test_auto_bucket_reuse():
     orig = pipe._process_signal_masked_impl
 
     def spy(padded, state, true_n):
-        seen_shapes.append(padded.shape[0])
+        seen_shapes.append(padded.shape)
         return orig(padded, state, true_n)
 
     # the jitted callable is created in __init__; re-wrap it around the spy
@@ -53,8 +53,10 @@ def test_auto_bucket_reuse():
     pipe.process_signal_auto(rng.normal(0, 100, 17000).astype(np.float32))
     pipe.process_signal_auto(rng.normal(0, 100, 30000).astype(np.float32))
     # the spy only runs at trace time: one entry for two lengths proves the
-    # second call reused the compiled 2 s-bucket (32000-sample) program
-    assert seen_shapes == [32000]
+    # second call reused the compiled 2 s-bucket program. The bucketed
+    # dispatch ships the host-formed rows view (32000 samples -> (200, 160))
+    # so the program starts in the tiled 2-D layout.
+    assert seen_shapes == [(200, 160)]
 
 
 def test_auto_int16_input_bit_identical_to_f32():

@@ -4,6 +4,7 @@ reproduce the reference engine's sequential per-frame automaton exactly —
 one-shot, chunked with carried state, and with bucketed tail padding."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -36,6 +37,39 @@ def test_hangover_parallel_equals_scan():
             v, jnp.int32(0), jnp.int32(0), on, off
         )
         np.testing.assert_array_equal(np.asarray(par), np.asarray(seq), err_msg=f"on={on} off={off}")
+
+
+def test_blocked_cummax_bitidentical_to_flat_scan():
+    # the two-level blocked cummax (engaged for long 256-multiples — every
+    # padded full-length VAD pass) must equal the flat associative_scan
+    # exactly; max is associative so this is bit-exact, and the boundary
+    # lengths pin the engagement gate itself.
+    rng = np.random.default_rng(7)
+    for f in (256, 768, 1024, 1280, 4096, 1023, 1025, 300):
+        seeds = jnp.asarray(
+            np.where(
+                rng.random(f) < 0.25,
+                np.arange(f, dtype=np.int32),
+                np.int32(-(2**30)),
+            )
+        )
+        got = np.asarray(vad_ops._cummax(seeds))
+        want = np.asarray(jax.lax.associative_scan(jnp.maximum, seeds))
+        np.testing.assert_array_equal(got, want, err_msg=f"f={f}")
+
+
+def test_hangover_long_block_equals_scan():
+    # lengths that engage the blocked cummax inside hangover_smooth
+    rng = np.random.default_rng(11)
+    for f, on, off in [(1024, 3, 2), (2048, 5, 3), (4096, 0, 0)]:
+        v = jnp.asarray(rng.random(f) < 0.2)
+        par, last_p = vad_ops.hangover_smooth(v, jnp.int32(-(on + 1)), on, off)
+        seq, _ = vad_ops.hangover_smooth_scan(
+            v, jnp.int32(0), jnp.int32(0), on, off
+        )
+        np.testing.assert_array_equal(
+            np.asarray(par), np.asarray(seq), err_msg=f"f={f} on={on} off={off}"
+        )
 
 
 def test_streaming_vad_matches_engine_oracle():
