@@ -180,6 +180,16 @@ class Config:
     # 16 MB scoped limit (256 is 5x slower; 2048 exceeds scoped VMEM and
     # fails to compile).
     TPU_VIEW_BLOCK_FRAMES = 1024
+    # Orientation of the fused view kernels: "auto" (default — the
+    # TRANSPOSED kernel when its alignment gates hold, else the rows-direct
+    # kernel) or "rows" (force rows-direct; A/B escape hatch). The
+    # transposed kernel consumes rows.T as a FREE bitcast of the
+    # column-major {0,1} entry layout XLA assigns the (F+1, hop) rows
+    # parameter (row-major would pad hop=160 lanes to 256), eliminating a
+    # ~920 MB relayout copy per 4 h call, and emits per-frame outputs
+    # lane-major (no (F,1)->(F,) relayout reduces). Gates and the full
+    # rationale: ops/pallas_view.py:_use_transposed.
+    TPU_VIEW_ORIENT = "auto"
     # Adaptive-VAD trailing-history sums: "blocked" (two-level block
     # cumsums, default) or "conv" (ones-kernel convolution, the original
     # formulation; "blocked" falls back to it when the block length is not
@@ -304,12 +314,13 @@ class Config:
         logging.info("log level: %s", Config.LOG_LEVEL)
         logging.info(
             "tpu: precision=%s, dft_layout=%s, view_layout=%s, "
-            "view_kernel=%d, vad_impl=%s, samples_dispatch=%d, "
-            "engine_pitch=%d, device_resample=%d",
+            "view_kernel=%d, view_orient=%s, vad_impl=%s, "
+            "samples_dispatch=%d, engine_pitch=%d, device_resample=%d",
             Config.TPU_MATMUL_PRECISION,
             Config.TPU_DFT_LAYOUT,
             Config.TPU_VIEW_LAYOUT,
             Config.TPU_VIEW_KERNEL,
+            Config.TPU_VIEW_ORIENT,
             Config.TPU_VAD_TRAILING_IMPL,
             Config.TPU_STREAM_SAMPLES_DISPATCH,
             Config.TPU_ENGINE_PITCH,

@@ -53,6 +53,56 @@ __all__ = ["fused_view_features", "fused_view_pitch"]
 _DN = (((1,), (0,)), ((), ()))
 
 
+def _use_transposed(f: int, block_frames: int) -> bool:
+    """Whether the TRANSPOSED kernel orientation serves this call.
+
+    Why transposed: XLA assigns the ``(F+1, hop)`` rows parameter a
+    column-major ``{0,1}`` entry layout (row-major would pad hop=160 lanes
+    to 256 — 37% wasted HBM), then pays a ~920 MB relayout copy
+    (~3.7 ms/call in the r4 trace) to feed the row-major kernel operand.
+    A ``{0,1}`` (F+1, hop) array is BIT-identical to a row-major
+    ``(hop, F+1)`` transpose, so a kernel written in transposed orientation
+    consumes ``rows.T`` as a FREE bitcast; per-frame gate outputs leave the
+    kernel lane-major (no (F,1)->(F,) relayout reduces) and the mfcc block
+    leaves as (num_ceps, F) whose ``.T`` is again a free bitcast to the
+    ``{0,1}`` output layout XLA wants.
+
+    Engagement gate (exhaustive):
+    - ``block_frames % 128 == 0``: the per-step seam tile is a 128-lane
+      block whose start ``(i+1)*block_frames`` must be lane-tile aligned.
+    - ``f >= block_frames``: short inputs shrink the block to a non-128
+      multiple; the rows-direct kernel serves them (their cost is trivial).
+    - ``f % block_frames >= 127``: Mosaic CLAMPS out-of-range blocks. A
+      clamped seam tile reads shifted values; the one frame that consumes
+      step i's seam is frame ``(i+1)*bf - 1``, which is a REAL frame only
+      when ``(i+1)*bf <= f``. With ``r = f % bf >= 127`` every multiple of
+      ``bf`` that is ``<= f`` is also ``<= f+1-128``, so every clamped
+      seam feeds only masked tail frames. (All shipped bucket lengths and
+      the bench length satisfy r >= 127; exact multiples r == 0 and tiny
+      remainders fall back to the rows-direct kernel.)
+    - ``Config.TPU_VIEW_ORIENT`` == "rows" forces the rows-direct kernel
+      (A/B escape hatch); "t" skips only the r-gate's fallback — the
+      alignment gates above are correctness requirements and always hold.
+    """
+    from ..config import Config
+
+    orient = str(getattr(Config, "TPU_VIEW_ORIENT", "auto") or "auto").lower()
+    if orient == "rows":
+        return False
+    if block_frames % 128 or f < block_frames:
+        return False
+    return (f % block_frames) >= 127
+
+
+def _seam_lane_spec(vmem_spec, hop: int, block_frames: int):
+    """BlockSpec for the transposed seam: a 128-lane tile of ``xt`` whose
+    first lane is column ``(i+1)*block_frames`` (the one extra sample column
+    grid step i's shifted "bot" half needs). Requires the alignment gates of
+    :func:`_use_transposed`."""
+    step = block_frames // 128
+    return vmem_spec((hop, 128), lambda i: (0, (i + 1) * step))
+
+
 def _pick_block_frames(f: int) -> int:
     """Grid-step frame count: ``Config.TPU_VIEW_BLOCK_FRAMES`` (r3 sweep
     winner 1024), shrunk to the padded frame count for short inputs. Always
@@ -197,6 +247,150 @@ def _view_kernel(
     qn = jnp.maximum(qn, jnp.float32(1e-12))
     ent = ent - qn * jnp.log(qn)
     entropy_ref[:] = ent / jnp.float32(np.log(half + 1))
+
+
+def _view_kernel_t(
+    xt_ref,
+    seam_ref,
+    w2_ref,
+    nyqc_ref,
+    mhi_ref,
+    mlo_ref,
+    fbhi_ref,
+    fblo_ref,
+    fbnyq_ref,
+    dcthi_ref,
+    dctlo_ref,
+    lifter_ref,
+    energy_ref,
+    zcr_ref,
+    entropy_ref,
+    mfcc_ref,
+    *,
+    frame_size: int,
+    half: int,
+):
+    """TRANSPOSED orientation of :func:`_view_kernel` (see
+    :func:`_use_transposed` for why). Data flows as ``(feature_dim, BF)``
+    tiles: frames are COLUMNS, the one-column-shifted "bot" half is a VMEM
+    lane shift, reductions run along sublanes, and every matmul is
+    ``basisT @ dataT`` — identical products to the row-major kernel (the
+    bf16_3x split is per-element), with reduction trees along the other
+    axis (same ~1e-7-level reassociation class as the hop-phase XLA path).
+    Per-frame outputs leave as ``(1, BF)`` lane-major rows — no
+    ``(F,1)->(F,)`` relayout downstream."""
+    topT = xt_ref[:]  # (hop, BF)
+    botT = jnp.concatenate([topT[:, 1:], seam_ref[:, :1]], axis=1)
+    ftT = jnp.concatenate([topT, botT], axis=0)  # (frame, BF)
+
+    energy_ref[:] = jnp.sum(ftT * ftT * w2_ref[:], axis=0, keepdims=True)
+
+    signs = jnp.sign(ftT)
+    crossings = jnp.sum(
+        (jnp.abs(signs[1:, :] - signs[:-1, :]) > 0).astype(jnp.float32),
+        axis=0,
+        keepdims=True,
+    )
+    zcr_ref[:] = crossings / jnp.float32(frame_size)
+
+    ft_hi, ft_lo = _split_bf16(ftT)
+    m = _dot3(mhi_ref[:], mlo_ref[:], ft_hi, ft_lo)  # (n_fft, BF)
+    nyq = jnp.sum(ftT * nyqc_ref[:], axis=0, keepdims=True)  # (1, BF)
+    power = m[:half] * m[:half] + m[half:] * m[half:]  # (half, BF)
+    nyq2 = nyq * nyq
+
+    p_hi, p_lo = _split_bf16(power)
+    mel = _dot3(fbhi_ref[:], fblo_ref[:], p_hi, p_lo) + fbnyq_ref[:] * nyq2
+    mel = jnp.maximum(mel, jnp.float32(1e-10))
+    lm = jnp.log(mel)
+    lm_hi, lm_lo = _split_bf16(lm)
+    mfcc = _dot3(dcthi_ref[:], dctlo_ref[:], lm_hi, lm_lo)  # (ceps, BF)
+    mfcc_ref[:] = mfcc * lifter_ref[:]
+
+    psum = jnp.sum(power, axis=0, keepdims=True) + nyq2
+    pn = jnp.where(psum > 0, power / psum, jnp.float32(0.0))
+    pn = jnp.maximum(pn, jnp.float32(1e-12))
+    ent = -jnp.sum(pn * jnp.log(pn), axis=0, keepdims=True)
+    qn = jnp.where(psum > 0, nyq2 / psum, jnp.float32(0.0))
+    qn = jnp.maximum(qn, jnp.float32(1e-12))
+    ent = ent - qn * jnp.log(qn)
+    entropy_ref[:] = ent / jnp.float32(np.log(half + 1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_size", "half", "num_filters", "num_ceps",
+                     "block_frames"),
+)
+def _fused_view_call_t(
+    xt,
+    w2_col,
+    nyqc_col,
+    mergedT,
+    fb_liveT,
+    fb_nyq_col,
+    dctT,
+    lifter_col,
+    *,
+    frame_size: int,
+    half: int,
+    num_filters: int,
+    num_ceps: int,
+    block_frames: int,
+):
+    """Transposed-orientation fused call: ``xt`` is ``rows.T`` —
+    ``(hop, F+1)``, a free bitcast of the column-major rows parameter. The
+    seam is a second 128-lane VIEW of the same array (no strided gather in
+    XLA, no extra operand materialization)."""
+    f = xt.shape[1] - 1
+    nb = -(-f // block_frames)
+    interpret, vmem_spec, const = block_specs()
+
+    mhi, mlo = _split_bf16(mergedT)
+    fbhi, fblo = _split_bf16(fb_liveT)
+    dcthi, dctlo = _split_bf16(dctT)
+
+    kernel = functools.partial(
+        _view_kernel_t, frame_size=frame_size, half=half
+    )
+    n_fft = 2 * half
+    hop = frame_size // 2
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, f), jnp.float32),  # energy
+        jax.ShapeDtypeStruct((1, f), jnp.float32),  # zcr
+        jax.ShapeDtypeStruct((1, f), jnp.float32),  # entropy
+        jax.ShapeDtypeStruct((num_ceps, f), jnp.float32),  # mfcc (transposed)
+    )
+    lane_out = lambda rows_dim: vmem_spec(  # noqa: E731
+        (rows_dim, block_frames), lambda i: (0, i)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            vmem_spec((hop, block_frames), lambda i: (0, i)),  # xt block
+            _seam_lane_spec(vmem_spec, hop, block_frames),  # seam column
+            const((frame_size, 1)),  # w2 column
+            const((frame_size, 1)),  # nyquist basis column
+            const((n_fft, frame_size)),  # mergedT hi
+            const((n_fft, frame_size)),  # mergedT lo
+            const((num_filters, half)),  # fbT hi
+            const((num_filters, half)),  # fbT lo
+            const((num_filters, 1)),  # fb nyquist column
+            const((num_ceps, num_filters)),  # dctT hi
+            const((num_ceps, num_filters)),  # dctT lo
+            const((num_ceps, 1)),  # lifter column
+        ],
+        out_specs=(
+            lane_out(1),
+            lane_out(1),
+            lane_out(1),
+            lane_out(num_ceps),
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xt, xt, w2_col, nyqc_col, mhi, mlo, fbhi, fblo,
+      fb_nyq_col, dcthi, dctlo, lifter_col)
 
 
 @functools.partial(
@@ -390,6 +584,106 @@ def _fused_pitch_call(
     )(rows, seams, nyqc_row, mhi, mlo, invhi, invlo, inv_nyq_row)
 
 
+def _pitch_kernel_t(
+    xt_ref,
+    seam_ref,
+    nyqc_ref,
+    mhi_ref,
+    mlo_ref,
+    invhi_ref,
+    invlo_ref,
+    invnyq_ref,
+    f0_ref,
+    conf_ref,
+    *,
+    half: int,
+    lag_min: int,
+    lag_max: int,
+    sample_rate: int,
+):
+    """TRANSPOSED orientation of :func:`_pitch_kernel` (see
+    :func:`_use_transposed`): frames are columns, the ACF comes out as
+    ``(n_lags, BF)``, and the band peak is an argmax along sublanes."""
+    topT = xt_ref[:]
+    botT = jnp.concatenate([topT[:, 1:], seam_ref[:, :1]], axis=1)
+    ftT = jnp.concatenate([topT, botT], axis=0)  # (frame, BF)
+    ft_hi, ft_lo = _split_bf16(ftT)
+    m = _dot3(mhi_ref[:], mlo_ref[:], ft_hi, ft_lo)  # (n_fft, BF)
+    nyq = jnp.sum(ftT * nyqc_ref[:], axis=0, keepdims=True)
+    power = m[:half] * m[:half] + m[half:] * m[half:]  # (half, BF)
+    p_hi, p_lo = _split_bf16(power)
+    acf = _dot3(invhi_ref[:], invlo_ref[:], p_hi, p_lo) + invnyq_ref[:] * (
+        nyq * nyq
+    )  # (n_lags, BF)
+
+    r0 = jnp.maximum(acf[:1], jnp.float32(1e-10))  # (1, BF)
+    lags = jax.lax.broadcasted_iota(jnp.int32, acf.shape, 0)
+    in_band = (lags >= lag_min) & (lags <= lag_max)
+    band = jnp.where(in_band, acf / r0, jnp.float32(-jnp.inf))
+    best = jnp.argmax(band, axis=0, keepdims=True)
+    conf = jnp.max(band, axis=0, keepdims=True)
+    f0_ref[:] = jnp.float32(sample_rate) / best.astype(jnp.float32)
+    conf_ref[:] = conf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("half", "lag_min", "lag_max", "sample_rate",
+                     "block_frames"),
+)
+def _fused_pitch_call_t(
+    xt,
+    nyqc_col,
+    mergedT,
+    inv_liveT,
+    inv_nyq_col,
+    *,
+    half: int,
+    lag_min: int,
+    lag_max: int,
+    sample_rate: int,
+    block_frames: int,
+):
+    f = xt.shape[1] - 1
+    nb = -(-f // block_frames)
+    interpret, vmem_spec, const = block_specs()
+    hop = xt.shape[0]
+    frame_size = hop * 2
+    n_fft = mergedT.shape[0]
+    n_lags = inv_liveT.shape[0]
+
+    mhi, mlo = _split_bf16(mergedT)
+    invhi, invlo = _split_bf16(inv_liveT)
+
+    kernel = functools.partial(
+        _pitch_kernel_t, half=half, lag_min=lag_min, lag_max=lag_max,
+        sample_rate=sample_rate,
+    )
+    lane_out = lambda: vmem_spec(  # noqa: E731
+        (1, block_frames), lambda i: (0, i)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            vmem_spec((hop, block_frames), lambda i: (0, i)),  # xt block
+            _seam_lane_spec(vmem_spec, hop, block_frames),  # seam column
+            const((frame_size, 1)),  # nyq basis column
+            const((n_fft, frame_size)),  # mergedT hi
+            const((n_fft, frame_size)),  # mergedT lo
+            const((n_lags, half)),  # invT hi
+            const((n_lags, half)),  # invT lo
+            const((n_lags, 1)),  # inv nyquist column
+        ],
+        out_specs=(lane_out(), lane_out()),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, f), jnp.float32),  # f0
+            jax.ShapeDtypeStruct((1, f), jnp.float32),  # confidence
+        ),
+        interpret=interpret,
+    )(xt, xt, nyqc_col, mhi, mlo, invhi, invlo, inv_nyq_col)
+
+
 def fused_view_pitch(
     rows: jnp.ndarray,
     *,
@@ -414,9 +708,22 @@ def fused_view_pitch(
 
     x = jnp.asarray(rows, jnp.float32)
     block_frames = _pick_block_frames(f)
-    seams = _seam_rows(x, f, block_frames)
-
     frame_size = int(merged.shape[0])
+    if _use_transposed(f, block_frames):
+        f0t, conft = _fused_pitch_call_t(
+            x.T,  # free bitcast of the {0,1} rows parameter
+            jnp.asarray(np.asarray(nyq_b, np.float32).reshape(frame_size, 1)),
+            jnp.asarray(np.ascontiguousarray(np.asarray(merged).T)),
+            jnp.asarray(np.ascontiguousarray(np.asarray(inv_live).T)),
+            jnp.asarray(np.asarray(inv_nyq, np.float32).reshape(n_lags, 1)),
+            half=half,
+            lag_min=int(lag_min),
+            lag_max=int(lag_max),
+            sample_rate=int(sample_rate),
+            block_frames=block_frames,
+        )
+        return f0t[0], conft[0]
+    seams = _seam_rows(x, f, block_frames)
     f0, conf = _fused_pitch_call(
         x,
         seams,
@@ -460,9 +767,34 @@ def fused_view_features(
 
     x = jnp.asarray(rows, jnp.float32)
     block_frames = _pick_block_frames(f)
-    seams = _seam_rows(x, f, block_frames)
 
     w = np.asarray(window, np.float64)
+    if _use_transposed(f, block_frames):
+        energy, zcr, entropy, mfccT = _fused_view_call_t(
+            x.T,  # free bitcast of the {0,1} rows parameter
+            jnp.asarray(
+                (w * w).astype(np.float32).reshape(frame_size, 1)
+            ),
+            jnp.asarray(np.asarray(wnyq, np.float32).reshape(frame_size, 1)),
+            jnp.asarray(np.ascontiguousarray(np.asarray(wm).T)),
+            jnp.asarray(np.ascontiguousarray(np.asarray(fb_t[:half]).T)),
+            jnp.asarray(np.asarray(fb_t[half], np.float32).reshape(-1, 1)),
+            jnp.asarray(np.ascontiguousarray(np.asarray(dct).T)),
+            jnp.asarray(np.asarray(lifter, np.float32).reshape(num_ceps, 1)),
+            frame_size=frame_size,
+            half=half,
+            num_filters=num_filters,
+            num_ceps=num_ceps,
+            block_frames=block_frames,
+        )
+        return {
+            "energy": energy[0],
+            "zcr": zcr[0],
+            "entropy": entropy[0],
+            # (ceps, F).T — a free bitcast to the {0,1} output layout
+            "mfcc": mfccT.T,
+        }
+    seams = _seam_rows(x, f, block_frames)
     w2_row = jnp.asarray((w * w).astype(np.float32).reshape(1, frame_size))
     nyqc_row = jnp.asarray(
         np.asarray(wnyq, np.float32).reshape(1, frame_size)

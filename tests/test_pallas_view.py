@@ -293,3 +293,121 @@ def test_view_block_frames_knob_multi_grid_step():
         assert _nmse(np.asarray(conf_m), np.asarray(conf_1)) < 1e-9
     finally:
         Config.TPU_VIEW_BLOCK_FRAMES = base
+
+
+def test_transposed_gate_boundaries():
+    """_use_transposed's engagement gate (ops/pallas_view.py): the 128-lane
+    seam tile makes Mosaic's block clamping safe only when every multiple
+    of bf that is <= f is also <= f+1-128, i.e. f % bf >= 127."""
+    from sspv_tpu.config import Config
+    from sspv_tpu.ops.pallas_view import _use_transposed
+
+    assert _use_transposed(1024 + 127, 1024)       # r == 127: minimal safe
+    assert not _use_transposed(1024 + 126, 1024)   # r == 126: clamp unsafe
+    assert not _use_transposed(2048, 1024)         # r == 0: exact multiple
+    assert not _use_transposed(1000, 1024)         # f < bf
+    assert not _use_transposed(2000, 1000)         # bf not 128-aligned
+    orig = Config.TPU_VIEW_ORIENT
+    try:
+        Config.TPU_VIEW_ORIENT = "rows"
+        assert not _use_transposed(1024 + 200, 1024)  # escape hatch
+    finally:
+        Config.TPU_VIEW_ORIENT = orig
+
+
+def test_transposed_kernel_matches_rows_kernel_and_oracle():
+    """The transposed-orientation kernel at an engaging shape must match
+    the rows-direct kernel (same products, reduction trees along the other
+    axis) and the float64 oracle at the 3-pass-bf16 order."""
+    from sspv_tpu.config import Config
+    from sspv_tpu.ops.pallas_view import _use_transposed
+
+    rng = np.random.default_rng(31)
+    f = 1024 + 200
+    assert _use_transposed(f, 1024)
+    sig = rng.normal(0, 3000, 160 * (f + 1)).astype(np.float32)
+    rows = _rows(sig)
+    kw = _kernel_kwargs()
+    got_t = fused_view_features(rows, **kw)
+    orig = Config.TPU_VIEW_ORIENT
+    try:
+        Config.TPU_VIEW_ORIENT = "rows"
+        got_r = fused_view_features(rows, **kw)
+    finally:
+        Config.TPU_VIEW_ORIENT = orig
+    for k in ("energy", "zcr", "entropy", "mfcc"):
+        assert got_t[k].shape == got_r[k].shape, k
+        assert _nmse(got_t[k], got_r[k]) < 1e-12, k
+
+    w = hamming_window(320)
+    frames = oracle.framing(sig[: 160 * (f + 1)], 320, 160, w)[:f]
+    assert _nmse(got_t["energy"], oracle.short_time_energy(frames)) < 1e-7
+    np.testing.assert_allclose(
+        np.asarray(got_t["zcr"]), oracle.zero_crossing_rate(frames),
+        atol=1e-6,
+    )
+    assert _nmse(got_t["mfcc"], oracle.mfcc(frames, 16000, lifter=22)) < 1e-7
+    assert (
+        _nmse(got_t["entropy"], oracle.spectral_entropy(frames, 512)) < 1e-7
+    )
+
+
+def test_transposed_kernel_minimal_safe_remainder():
+    """f % bf == 127 is the smallest remainder the transposed kernel
+    serves; the clamped final seam tile must feed only masked tail frames
+    (wrong values here would corrupt the LAST real frame)."""
+    from sspv_tpu.config import Config
+    from sspv_tpu.ops.pallas_view import _use_transposed
+
+    rng = np.random.default_rng(37)
+    f = 2 * 1024 + 127
+    assert _use_transposed(f, 1024)
+    sig = rng.normal(0, 3000, 160 * (f + 1)).astype(np.float32)
+    rows = _rows(sig)
+    kw = _kernel_kwargs()
+    got_t = fused_view_features(rows, **kw)
+    orig = Config.TPU_VIEW_ORIENT
+    try:
+        Config.TPU_VIEW_ORIENT = "rows"
+        got_r = fused_view_features(rows, **kw)
+    finally:
+        Config.TPU_VIEW_ORIENT = orig
+    # the final frames are exactly where a clamping bug would surface
+    for k in ("energy", "zcr", "entropy", "mfcc"):
+        a = np.asarray(got_t[k])[-130:]
+        b = np.asarray(got_r[k])[-130:]
+        assert _nmse(a, b) < 1e-12, k
+
+
+def test_transposed_pitch_matches_rows_kernel():
+    from sspv_tpu.config import Config
+    from sspv_tpu.ops.pallas_view import _use_transposed, fused_view_pitch
+    from sspv_tpu.ops.pitch import _lag_band
+    from sspv_tpu.ops.time_features import _acf_dft_bases_merged
+
+    rng = np.random.default_rng(41)
+    f = 1024 + 500
+    assert _use_transposed(f, 1024)
+    t = np.arange(160 * (f + 1)) / 16000
+    sig = np.where(
+        ((t * 2).astype(int) % 4) == 1,
+        5000 * np.sin(2 * np.pi * 130 * t),
+        rng.normal(0, 40, t.size),
+    ).astype(np.float32)
+    rows = _rows(sig)
+    lag_min, lag_max = _lag_band(16000, 50.0, 400.0, 320)
+    merged, nyq_b, inv_live, inv_nyq = _acf_dft_bases_merged(320, lag_max)
+    pkw = dict(
+        merged=merged, nyq_b=nyq_b, inv_live=inv_live, inv_nyq=inv_nyq,
+        lag_min=lag_min, lag_max=lag_max, sample_rate=16000,
+    )
+    f0_t, conf_t = fused_view_pitch(rows, **pkw)
+    orig = Config.TPU_VIEW_ORIENT
+    try:
+        Config.TPU_VIEW_ORIENT = "rows"
+        f0_r, conf_r = fused_view_pitch(rows, **pkw)
+    finally:
+        Config.TPU_VIEW_ORIENT = orig
+    assert f0_t.shape == f0_r.shape == (f,)
+    assert np.mean(np.asarray(f0_t) == np.asarray(f0_r)) >= 0.999
+    assert _nmse(np.asarray(conf_t), np.asarray(conf_r)) < 1e-9
