@@ -230,10 +230,22 @@ def main() -> None:
         s = sorted(samples)
         med = s[len(s) // 2]
         best = min(s[0], serial)
+        # Two spread figures: the full range (honest, but a single tunnel
+        # stall mid-run can inflate it by orders of magnitude — observed
+        # once at 1641% when one round of 5 hit a ~1.2 s link stall) and a
+        # stall-robust core spread over the rounds excluding the single
+        # worst (still range-based; with 5 rounds that is the 4-round
+        # range). The per-round times are emitted verbatim so either
+        # figure can be audited.
+        core = s[:-1] if len(s) > 2 else s
         return {
             "best": best,
             "median": med,
             "spread_pct": 100.0 * (s[-1] - s[0]) / med if med else 0.0,
+            "core_spread_pct": (
+                100.0 * (core[-1] - core[0]) / med if med else 0.0
+            ),
+            "times_s": [round(x, 5) for x in s],
         }
 
     fstats = stats(feat_times, serialized)
@@ -336,12 +348,16 @@ def main() -> None:
                 "value_median": round(seconds / fstats["median"], 1),
                 "median_time_s": round(fstats["median"], 5),
                 "spread_pct": round(fstats["spread_pct"], 1),
+                "core_spread_pct": round(fstats["core_spread_pct"], 1),
+                "round_times_s": fstats["times_s"],
                 "rounds": rounds,
                 "reps_per_round": reps,
                 "pitch_audio_sec_per_sec": round(pitch_audio_sec_per_sec, 1),
                 "pitch_time_s": round(pitch_best, 5),
                 "pitch_median": round(pitch_seconds / pstats["median"], 1),
                 "pitch_spread_pct": round(pstats["spread_pct"], 1),
+                "pitch_core_spread_pct": round(pstats["core_spread_pct"], 1),
+                "pitch_round_times_s": pstats["times_s"],
                 "pitch_acf_nmse": float(f"{pitch_acf_nmse:.3e}"),
                 "pitch_f0_impl_match": round(pitch_f0_match, 4),
                 "pitch_voiced_frames": int(voiced_f0.size),
