@@ -58,46 +58,82 @@ def _probe_device_once(timeout_s: float = 110.0) -> bool:
     """One bounded device round-trip in a SUBPROCESS. During a tunnel outage
     device calls in-process BLOCK (minutes) rather than fail, and a dead
     backend poisons the process for good — a child process is the only way
-    to probe without risking the benchmark process itself."""
+    to probe without risking the benchmark process itself. The probe enables
+    the shared persistent cache so a warm cache keeps probes to seconds."""
     try:
         r = subprocess.run(
             [sys.executable, "-c",
+             "from sspv_tpu.utils.cache import enable_persistent_cache\n"
+             "enable_persistent_cache()\n"
              "import jax, jax.numpy as jnp\n"
              "x = jnp.ones((8, 128))\n"
              "print(float((x @ x.T).sum()))\n"],
             timeout=timeout_s, capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         return r.returncode == 0
     except (subprocess.TimeoutExpired, OSError):
         return False
 
 
+def _emit_failure_record(reason: str, probes: int, budget: float) -> None:
+    """A benchmark that cannot reach the device must still leave a parseable
+    artifact (VERDICT r4 #1: the r4 driver capture waited out a tunnel outage
+    and timed out with NO json at all). ``value`` is 0 with an explicit
+    ``error`` field — unmistakably a failure record, never a measurement —
+    plus the last driver/builder-verified numbers for reference."""
+    print(json.dumps({
+        "metric": "audio_seconds_per_sec_per_chip_frame_mfcc_vad",
+        "value": 0.0,
+        "unit": "audio-s/s/chip",
+        "vs_baseline": 0.0,
+        "error": reason,
+        "health_probes": probes,
+        "health_budget_s": budget,
+        "last_known_good": {
+            "driver_verified_r3": 381372.0,
+            "builder_session_r4_best": 775050.0,
+            "builder_session_r4_median": 766552.0,
+            "source": "docs/benchmarks.md, docs/roofline_r4*.jsonl",
+        },
+    }))
+
+
 def _wait_for_device_health() -> None:
-    """Gate the benchmark on device health so a transient tunnel outage at
-    run time yields a late-but-real number instead of a multi-minute hang or
-    an UNAVAILABLE crash (observed outages last 30 min-6 h and flap).
-    Healthy path costs one ~5-10 s probe. ``RTP_BENCH_HEALTH_WAIT_S=0``
-    skips the gate entirely; on exhaustion exit non-zero with NO json line
-    (a fabricated 0 would be recorded as a real measurement)."""
-    budget = float(os.environ.get("RTP_BENCH_HEALTH_WAIT_S", "5400"))
+    """Gate the benchmark on device health so a transient tunnel outage
+    yields either a late-but-real number or a FAST, parseable failure record
+    — never a driver-level timeout (r4's 5400 s recovery wait outlived the
+    driver's window and produced an empty rc=124 artifact). Healthy path
+    costs one ~5-15 s probe. ``RTP_BENCH_HEALTH_WAIT_S`` overrides the
+    default 480 s budget; <=0 skips the gate entirely."""
+    budget = float(os.environ.get("RTP_BENCH_HEALTH_WAIT_S", "480"))
     if budget <= 0:
         return
+    deadline = time.monotonic() + budget
+    probes = 1
     if _probe_device_once():
         return
-    deadline = time.monotonic() + budget
-    print("bench: device probe failed; waiting for tunnel recovery "
-          f"(up to {budget:.0f}s)", file=sys.stderr)
+    print("bench: device probe failed; retrying for up to "
+          f"{budget:.0f}s", file=sys.stderr)
     while time.monotonic() < deadline:
-        time.sleep(240)
+        time.sleep(min(45.0, max(1.0, deadline - time.monotonic())))
+        probes += 1
         if not _probe_device_once():
             continue
-        time.sleep(60)  # outages flap: require two healthy probes 60 s apart
-        if _probe_device_once():
-            print("bench: device healthy; proceeding", file=sys.stderr)
-            return
+        # outages flap: prefer a second healthy probe ~30 s later, but only
+        # when the budget allows — a single healthy probe near the deadline
+        # still proceeds (a real measurement beats refusing to try)
+        if time.monotonic() + 45 < deadline:
+            time.sleep(30)
+            probes += 1
+            if not _probe_device_once():
+                continue
+        print("bench: device healthy; proceeding", file=sys.stderr)
+        return
     print("bench: device unavailable for the whole health budget; "
-          "refusing to emit a fake measurement", file=sys.stderr)
-    raise SystemExit(2)
+          "emitting a failure record", file=sys.stderr)
+    _emit_failure_record("device_unavailable", probes, budget)
+    raise SystemExit(3)
 
 
 def main() -> None:
@@ -228,7 +264,10 @@ def main() -> None:
 
     def stats(samples, serial) -> dict:
         s = sorted(samples)
-        med = s[len(s) // 2]
+        # true median (average the middle pair when len is even — s[len//2]
+        # would skew value_median and the spread normalization upward)
+        mid = len(s) // 2
+        med = s[mid] if len(s) % 2 else 0.5 * (s[mid - 1] + s[mid])
         best = min(s[0], serial)
         # Two spread figures: the full range (honest, but a single tunnel
         # stall mid-run can inflate it by orders of magnitude — observed

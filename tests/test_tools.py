@@ -89,9 +89,12 @@ def test_soak_report_no_frames(tmp_path):
     assert "no frames" in json.loads(out.stdout)["error"]
 
 
-def test_bench_health_gate(monkeypatch):
+def test_bench_health_gate(monkeypatch, capsys):
     """The bench's pre-flight device gate: skip knob, healthy fast path, and
-    exhaustion refusing to emit a measurement (exit 2, no JSON line)."""
+    exhaustion emitting a PARSEABLE failure record (exit 3) — VERDICT r4 #1:
+    an outage must never again produce an empty driver-timeout artifact."""
+    import json as _json
+
     import bench
 
     # RTP_BENCH_HEALTH_WAIT_S=0 disables the gate without probing
@@ -114,7 +117,8 @@ def test_bench_health_gate(monkeypatch):
     bench._wait_for_device_health()
     assert len(calls) == 1
 
-    # budget exhausted: SystemExit(2), never a fake number on stdout
+    # budget exhausted: SystemExit(3) plus a parseable JSON failure record
+    # (value 0 + explicit error field — unmistakably not a measurement)
     monkeypatch.setenv("RTP_BENCH_HEALTH_WAIT_S", "300")
     monkeypatch.setattr(bench, "_probe_device_once", lambda *a, **k: False)
     clock = {"t": 0.0}
@@ -126,4 +130,18 @@ def test_bench_health_gate(monkeypatch):
 
     with pytest.raises(SystemExit) as e:
         bench._wait_for_device_health()
-    assert e.value.code == 2
+    assert e.value.code == 3
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = _json.loads(out[-1])
+    assert rec["error"] == "device_unavailable"
+    assert rec["value"] == 0.0
+    assert rec["metric"] == "audio_seconds_per_sec_per_chip_frame_mfcc_vad"
+    assert rec["last_known_good"]["driver_verified_r3"] > 0
+
+    # the default budget must sit well inside the driver's capture window
+    # (r4's 5400 s wait outlived it); default comes from the env-less path
+    monkeypatch.delenv("RTP_BENCH_HEALTH_WAIT_S", raising=False)
+    with pytest.raises(SystemExit):
+        bench._wait_for_device_health()
+    rec2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["health_budget_s"] <= 900
