@@ -29,12 +29,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import vad as vad_ops
-from ..ops.pipeline import FeatureBlock, FeatureConfig, FeaturePipeline
+from ..ops.pipeline import (
+    FeatureBlock,
+    FeatureConfig,
+    FeaturePipeline,
+    _pallas_available,
+)
 
 __all__ = [
     "make_mesh",
     "BatchPipeline",
 ]
+
+# Trace-time evidence that the shard_map'd fused-kernel feature stage was
+# compiled into a mesh program (the multichip dryrun asserts a delta, same
+# pattern as pipeline.VIEW_TRACE_COUNT / vad.BLOCKED_TRACE_COUNT — no
+# multi-chip hardware exists here to measure on).
+MESH_KERNEL_TRACE_COUNT = 0
 
 
 def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
@@ -80,13 +91,27 @@ class BatchPipeline:
     decisions agree away from ACF ties — tools/viewkernel_ab.py).
     """
 
-    def __init__(self, mesh: Mesh, cfg: FeatureConfig | None = None):
+    def __init__(
+        self,
+        mesh: Mesh,
+        cfg: FeatureConfig | None = None,
+        long_kernel: bool | None = None,
+    ):
         self.mesh = mesh
         # view_kernel off: Pallas calls have no GSPMD partitioning rule, so
-        # every sharded program here must lower the XLA view path —
+        # every GSPMD-sharded program here must lower the XLA view path —
         # process_long's view branch would otherwise place a pallas_call
         # under a with_sharding_constraint on real multi-chip meshes. The
         # single-chip FeaturePipeline keeps its own (kernel) default.
+        #
+        # process_long is the exception: its feature stage runs under
+        # shard_map MANUAL partitioning (which sidesteps GSPMD entirely), so
+        # it CAN run the fused Pallas view kernel per shard — see
+        # ``_long_kernel_feats``. ``long_kernel`` controls that route:
+        # None resolves it like the single-chip kernel default (TPU backend
+        # + cfg.view_kernel + the kernel's geometry/precision gates);
+        # True/False force it (tests and the CPU multichip dryrun opt in
+        # explicitly — interpret-mode Pallas under shard_map).
         base = cfg or FeatureConfig()
         if base.view_kernel and cfg is not None:
             # an explicitly passed cfg opting IN must not be dropped
@@ -94,11 +119,22 @@ class BatchPipeline:
             import logging
 
             logging.getLogger(__name__).info(
-                "BatchPipeline: view_kernel=True overridden to False — "
-                "Pallas kernels cannot be GSPMD-partitioned over a mesh; "
-                "sharded programs use the XLA view path"
+                "BatchPipeline: view_kernel=True overridden to False for "
+                "GSPMD-sharded programs — Pallas kernels cannot be "
+                "GSPMD-partitioned; process_long's shard_map feature stage "
+                "still runs the fused kernel per shard (long_kernel)"
             )
         self.pipe = FeaturePipeline(base._replace(view_kernel=False))
+        p = self.pipe
+        if long_kernel is None:
+            long_kernel = bool(base.view_kernel) and _pallas_available()
+        self._long_kernel = bool(long_kernel) and (
+            p.cfg.frame_size == 2 * p.cfg.hop_size
+            and p._wm is not None
+            and p._wc_ent is None
+            and p._precision != jax.lax.Precision.HIGHEST
+            and bool(np.all(p._window > 0))
+        )
         self._batch_jit = {}
 
     def _batch_impl(self, signals: jnp.ndarray, states: vad_ops.VadState):
@@ -265,6 +301,69 @@ class BatchPipeline:
             signals, lengths, states, jnp.float32(min_confidence)
         )
 
+    def _long_kernel_feats(self, rows: jnp.ndarray, n: int) -> dict:
+        """Fused-Pallas feature stage for ``process_long`` under shard_map
+        MANUAL partitioning (VERDICT r4 #4: GSPMD has no Pallas partitioning
+        rule, but shard_map sidesteps GSPMD — each device runs the single
+        -chip fused view kernel on its own frame block, so the multi-chip
+        path stops paying the XLA-path penalty).
+
+        ``rows`` is the ``(n+1, hop)`` signal view. The frame axis is split
+        into ``D`` contiguous blocks of ``fpb`` frames (padded); a shard's
+        frames need ``fpb + 1`` rows, so each shard also receives its SEAM
+        row (the next shard's first row) — a tiny ``(D, hop)`` strided
+        gather done outside shard_map, where GSPMD moves the D rows. This
+        is the same rows+seam decomposition the single-chip kernel uses
+        internally (pallas_view._seam_rows), lifted to the mesh level.
+
+        Returns the feature dict sliced to the true ``n`` frames; the VAD
+        prefix runs outside, in ordinary GSPMD land, where XLA lowers its
+        exchanges to collectives.
+        """
+        global MESH_KERNEL_TRACE_COUNT
+        MESH_KERNEL_TRACE_COUNT += 1
+        from ..ops.pallas_view import fused_view_features
+
+        p = self.pipe
+        d = int(self.mesh.devices.size)
+        hop = p.cfg.hop_size
+        fpb = -(-n // d)
+        fpb = max(8, -(-fpb // 8) * 8)  # f32 sublane multiple per shard
+        pad_rows = d * fpb + 1 - (n + 1)
+        if pad_rows:
+            rows = jnp.pad(rows, ((0, pad_rows), (0, 0)))
+        rows_main = rows[:-1]  # (d*fpb, hop)
+        seams = rows[fpb::fpb]  # (d, hop): shard i's row fpb == row (i+1)*fpb
+
+        def per_shard(rb, seam):
+            # rb (fpb, hop) + seam (1, hop) -> the shard-local (fpb+1, hop)
+            # view; the fused kernel grid-blocks internally exactly as on a
+            # single chip (frames are frame-local — no cross-shard state)
+            feats = fused_view_features(
+                jnp.concatenate([rb, seam], axis=0),
+                wm=p._wm,
+                wnyq=p._wnyq,
+                fb_t=p._fb_t,
+                dct=p._dct,
+                lifter=p._lifter,
+                window=p._window,
+            )
+            return feats
+
+        axes = ("data", "seq")
+        spec2, spec1 = P(axes, None), P(axes)
+        feats = jax.shard_map(
+            per_shard,
+            mesh=self.mesh,
+            in_specs=(spec2, spec2),
+            out_specs={
+                "energy": spec1, "zcr": spec1, "entropy": spec1,
+                "mfcc": spec2,
+            },
+            check_vma=False,  # pallas_call has no varying-axes rule
+        )(rows_main, seams)
+        return {k: v[:n] for k, v in feats.items()}
+
     def process_long(
         self, signal, state: vad_ops.VadState | None = None
     ) -> tuple[FeatureBlock, vad_ops.VadState]:
@@ -291,7 +390,20 @@ class BatchPipeline:
                 and length >= c.frame_size
                 and self.pipe._window_strictly_positive()
             )
-            if use_view:
+            if use_view and self._long_kernel:
+                n = 1 + (length - c.frame_size) // c.hop_size
+
+                def impl(sig, st):
+                    x = jnp.asarray(sig, jnp.float32)
+                    rows = x[: (n + 1) * c.hop_size].reshape(
+                        n + 1, c.hop_size
+                    )
+                    feats = self._long_kernel_feats(rows, n)
+                    # full-length parallel-prefix VAD in GSPMD land (the
+                    # same shared tail as the single-chip signal paths)
+                    return self.pipe._vad_full_length(feats, st, n)
+
+            elif use_view:
                 n = 1 + (length - c.frame_size) // c.hop_size
 
                 def impl(sig, st):

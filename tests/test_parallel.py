@@ -431,3 +431,62 @@ def test_batch_masked_unequal_lengths():
             np.asarray(block.vad[i])[:true_n], np.asarray(want.vad)
         )
         assert int(states.count[i]) == int(want_state.count) == true_n
+
+
+def test_long_kernel_shardmap_route():
+    """process_long's shard_map fused-kernel route (VERDICT r4 #4): Pallas
+    has no GSPMD partitioning rule, so the mesh feature stage runs the fused
+    view kernel per shard under shard_map MANUAL partitioning. Opt-in on CPU
+    (interpret-mode kernel); must trace the kernel stage (counter), match the
+    XLA mesh path at kernel-accuracy level, and keep VAD decisions identical.
+    """
+    from sspv_tpu.parallel import mesh as mesh_mod
+
+    rng = np.random.default_rng(11)
+    mesh = make_mesh(8)
+    bp_x = BatchPipeline(mesh)  # CPU default: XLA view path
+    bp_k = BatchPipeline(mesh, long_kernel=True)
+    assert not bp_x._long_kernel and bp_k._long_kernel
+
+    # 1203 frames: not a multiple of 8 shards -> exercises the fpb pad +
+    # seam gather; > history_len so the blocked VAD pad path runs too
+    n_frames = 1203
+    sig = rng.normal(0, 3000, ((n_frames - 1) * 160 + 320,)).astype(np.float32)
+    sig[: 16000] = np.sin(2 * np.pi * 220 * np.arange(16000) / 16000) * 8000
+
+    before = mesh_mod.MESH_KERNEL_TRACE_COUNT
+    bx, sx = bp_x.process_long(sig)
+    assert mesh_mod.MESH_KERNEL_TRACE_COUNT == before  # XLA route untouched
+    bk, sk = bp_k.process_long(sig)
+    assert mesh_mod.MESH_KERNEL_TRACE_COUNT > before
+    jax.block_until_ready(bk)
+
+    for k in ("energy", "zcr", "entropy"):
+        a = np.asarray(getattr(bx, k), np.float64)
+        b = np.asarray(getattr(bk, k), np.float64)
+        nmse = np.mean((a - b) ** 2) / max(np.mean(a**2), 1e-12)
+        assert nmse < 1e-10, (k, nmse)
+    a = np.asarray(bx.mfcc, np.float64)
+    b = np.asarray(bk.mfcc, np.float64)
+    assert np.mean((a - b) ** 2) / np.mean(a**2) < 1e-8
+    np.testing.assert_array_equal(np.asarray(bx.vad), np.asarray(bk.vad))
+    np.testing.assert_array_equal(
+        np.asarray(bx.vad_adaptive), np.asarray(bk.vad_adaptive)
+    )
+    # carried VAD state agrees (same prefix machinery on both routes)
+    assert int(sx.count) == int(sk.count)
+
+
+def test_long_kernel_gates():
+    """The shard_map kernel route must disengage for unsupported geometry
+    (frame != 2*hop) and for pinned-highest precision, like the single-chip
+    kernel gates."""
+    mesh = make_mesh(8)
+    bp = BatchPipeline(
+        mesh, FeatureConfig(frame_size=400, hop_size=160), long_kernel=True
+    )
+    assert not bp._long_kernel
+    bp2 = BatchPipeline(
+        mesh, FeatureConfig(precision="highest"), long_kernel=True
+    )
+    assert not bp2._long_kernel
