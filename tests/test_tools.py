@@ -145,3 +145,60 @@ def test_bench_health_gate(monkeypatch, capsys):
         bench._wait_for_device_health()
     rec2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec2["health_budget_s"] <= 900
+
+
+def test_vad_eval_confusion_breakdown():
+    """The r5 frame-level confusion attribution in examples/vad_eval.py:
+    per-class recall, gate attribution of misses, and hangover-attributed
+    false positives on a hand-built scenario."""
+    import importlib.util
+    import os
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "vad_eval", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples", "vad_eval.py",
+        ),
+    )
+    ve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ve)
+
+    # 10 frames: truth 0-1 silence, 2-3 fricative, 4-6 voiced, 7-9 silence
+    truth = np.array([0, 0, 1, 1, 1, 1, 1, 0, 0, 0], bool)
+    fclass = np.array([0, 0, 1, 1, 2, 2, 2, 0, 0, 0], np.int8)
+    frac = np.array([0, 0, 0.6, 1, 1, 1, 1, 0, 0, 0], float)
+    # pred misses the fricatives, holds 2 frames past the end (hangover)
+    pred = np.array([0, 0, 0, 0, 1, 1, 1, 1, 1, 0], bool)
+    e = np.full(10, 5000.0)  # energy gate always on
+    z = np.where(fclass == 1, 0.45, 0.1)  # fricatives: high zcr
+    h = np.where(fclass == 1, 0.9, 0.3)  # fricatives: high entropy
+
+    class Cfg:
+        energy_threshold = 1000.0
+        zcr_threshold = 0.3
+        entropy_voice_max = 0.65
+        hangover_on = 3
+        release_off = 2
+
+    out = ve.confusion_breakdown(pred, truth, frac, fclass, e, z, h, Cfg)
+    assert out["fn_frames"] == 2 and out["fp_frames"] == 2
+    assert out["fn_fricative_pct"] == 100.0
+    assert out["fn_energy_gate_off_pct"] == 0.0
+    assert out["fn_spectral_gate_off_pct"] == 100.0
+    assert out["recall_steady_voiced"] == 100.0
+    assert out["recall_steady_fricative"] == 0.0
+    assert out["fp_hangover_pct"] == 100.0
+    assert out["fp_mid_noise_pct"] == 0.0
+
+    # frame_class_info majority rule + boundary fractions
+    labels = np.zeros(320 + 9 * 160, bool)
+    classes = np.zeros(labels.size, np.int8)
+    labels[:480] = True
+    classes[:480] = 2
+    frac2, fcl2 = ve.frame_class_info(labels, classes, 320, 160)
+    assert frac2[0] == 1.0 and fcl2[0] == 2
+    # frame 2 spans samples 320..640 -> half speech: straddles the offset
+    assert 0.0 < frac2[2] < 1.0 and fcl2[2] == 2
+    assert frac2[3] == 0.0 and fcl2[3] == 0
