@@ -202,3 +202,58 @@ def test_vad_eval_confusion_breakdown():
     # frame 2 spans samples 320..640 -> half speech: straddles the offset
     assert 0.0 < frac2[2] < 1.0 and fcl2[2] == 2
     assert frac2[3] == 0.0 and fcl2[3] == 0
+
+
+def test_soak_stitch_segments(tmp_path):
+    """Recycle-resilient soak stitching (VERDICT r4 #2): per-segment state
+    rows, orphan adoption after a simulated recycle, accumulated steady
+    time, and the pooled combined report."""
+
+    def write_seg(path, n, rss0, calls0=0, verdict=None, mb_per_call=0.5):
+        lines = []
+        rss, calls = rss0, calls0
+        for i in range(n):
+            t = 5.0 * (i + 1)
+            calls += 2
+            rss += 2 * mb_per_call
+            lines.append(
+                f"t={t:6.1f}s rss={rss:7.1f}MB calls={calls} "
+                f"recent_frames=100 voiced=3 err=None"
+            )
+        if verdict:
+            lines.append(f"soak: {verdict}")
+        path.write_text("\n".join(lines) + "\n")
+
+    state = tmp_path / "state.jsonl"
+    seg1 = tmp_path / "seg1.log"
+    seg2 = tmp_path / "seg2.log"
+    write_seg(seg1, 100, 200.0, verdict="PASS")  # clean segment
+    write_seg(seg2, 60, 210.0)  # killed mid-run: no verdict line (orphan)
+
+    run = lambda *a: subprocess.run(  # noqa: E731
+        [sys.executable, "tools/soak_stitch.py", *a],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    out = run("--append-state", str(state), "--log", str(seg1), "--rc", "0")
+    assert out.returncode == 0, out.stderr
+    row = json.loads(out.stdout)
+    assert row["rc"] == 0 and row["frames_s"] == 495.0
+    assert row["calls"] == 200
+
+    # recycle: seg2 never got its state row; reconcile adopts it
+    out = run("--reconcile", str(state), str(tmp_path))
+    assert out.returncode == 0 and out.stdout.strip() == "1"
+    out = run("--reconcile", str(state), str(tmp_path))  # idempotent
+    assert out.stdout.strip() == "0"
+
+    out = run("--accumulated", str(state))
+    assert int(out.stdout.strip()) == 495 + 295
+
+    out = run("--settle", "120", str(state))
+    rep = json.loads(out.stdout)
+    assert rep["segments"] == 2
+    assert rep["total_steady_s"] == 790.0
+    assert rep["total_calls"] == 320
+    # both segments leak 0.5 MB/call -> pooled fit must agree
+    assert abs(rep["pooled_rss_mb_per_call"] - 0.5) < 0.01
+    assert rep["per_segment"][1].get("rc") is None
