@@ -287,13 +287,60 @@ def main() -> int:
              timed(lambda: pitch_fn(sig_rows, vad_gate, np.float32(0.3)),
                    consume_pitch, rounds=args.rounds))
 
-    if not args.skip_r3 and want("pitch_r3_scan"):
-        from sspv_tpu.ops.pallas_view import fused_view_pitch
+    # pitch decomposition (VERDICT r4 #5: the features call got 2x from
+    # exactly this recipe; pitch never had its own rows): kernel alone vs
+    # the flat-input relayout vs the gate/output stage.
+    from sspv_tpu.ops.pallas_view import fused_view_pitch
 
-        lag_min, lag_max = _lag_band(sr, 50.0, 400.0, c.frame_size)
-        merged, nyq_b, inv_live, inv_nyq = _acf_dft_bases_merged(
-            c.frame_size, lag_max
+    lag_min, lag_max = _lag_band(sr, 50.0, 400.0, c.frame_size)
+    merged, nyq_b, inv_live, inv_nyq = _acf_dft_bases_merged(
+        c.frame_size, lag_max
+    )
+
+    # the fused ACF kernel alone, ungated (full sweep over the rows view)
+    def pitch_kernel_only_impl(rows):
+        return fused_view_pitch(
+            rows, merged=merged, nyq_b=nyq_b, inv_live=inv_live,
+            inv_nyq=inv_nyq, lag_min=lag_min, lag_max=lag_max,
+            sample_rate=sr,
         )
+
+    pitch_kernel_jit = jax.jit(pitch_kernel_only_impl)
+    # analytic 3-pass bf16 FLOPs/frame: forward merged ACF-DFT + inverse
+    # band matmul (n_lags columns)
+    n_lags = int(inv_live.shape[1])
+    pitch_flops_frame = 3 * 2 * (
+        c.frame_size * merged.shape[1] + (merged.shape[1] // 2) * n_lags
+    )
+    if want("pitch_kernel_only"):
+        emit("pitch_kernel_only",
+             timed(lambda: pitch_kernel_jit(sig_rows), consume_pitch,
+                   rounds=args.rounds),
+             {"analytic_gflop_3pass": round(n * pitch_flops_frame / 1e9, 2)})
+
+    # shipped program fed the FLAT signal: pays the on-device 1-D->2-D
+    # relayout (the r4 features trace's #2 op) — placement cost A/B
+    if want("pitch_shipped_flat"):
+        emit("pitch_shipped_flat",
+             timed(lambda: pitch_fn(sig, vad_gate, np.float32(0.3)),
+                   consume_pitch, rounds=args.rounds))
+
+    # gate/output stage alone over precomputed ungated (f0, conf)
+    f0c_dev = pitch_kernel_jit(sig_rows)
+    jax.block_until_ready(f0c_dev)
+
+    def pitch_gate_only_impl(f0, conf, vad):
+        gate = (vad > 0) & (conf >= jnp.float32(0.3))
+        return jnp.where(gate, f0, 0.0).astype(jnp.float32), conf
+
+    pitch_gate_jit = jax.jit(pitch_gate_only_impl)
+    if want("pitch_gate_only"):
+        emit("pitch_gate_only",
+             timed(lambda: pitch_gate_jit(*f0c_dev, vad_gate),
+                   consume_pitch, rounds=args.rounds),
+             cost_of(pitch_gate_jit, *f0c_dev, vad_gate))
+
+    if not args.skip_r3 and want("pitch_r3_scan"):
         pb = SCAN_BLOCK_FRAMES
 
         def pitch_r3_impl(signal):
