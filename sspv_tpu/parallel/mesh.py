@@ -364,6 +364,126 @@ class BatchPipeline:
         )(rows_main, seams)
         return {k: v[:n] for k, v in feats.items()}
 
+    def _long_kernel_pitch(
+        self, rows: jnp.ndarray, n: int, fmin: float, fmax: float
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """shard_map'd fused-Pallas UNGATED pitch stage for
+        :meth:`process_long_pitch` — the pitch twin of
+        :meth:`_long_kernel_feats` (same rows+seam decomposition; the
+        banded-ACF kernel is frame-local, so shards need only their seam
+        row). Returns ``(f0, conf)`` of shape ``(n,)`` each; the caller
+        applies the VAD/confidence gate."""
+        from ..ops.pitch import _acf_dft_bases_merged, _lag_band
+        from ..ops.pallas_view import fused_view_pitch
+
+        p = self.pipe
+        c = p.cfg
+        d = int(self.mesh.devices.size)
+        lag_min, lag_max = _lag_band(c.sample_rate, fmin, fmax, c.frame_size)
+        merged, nyq_b, inv_live, inv_nyq = _acf_dft_bases_merged(
+            c.frame_size, lag_max
+        )
+        fpb = -(-n // d)
+        fpb = max(8, -(-fpb // 8) * 8)
+        pad_rows = d * fpb + 1 - (n + 1)
+        if pad_rows:
+            rows = jnp.pad(rows, ((0, pad_rows), (0, 0)))
+        rows_main = rows[:-1]
+        seams = rows[fpb::fpb]
+
+        def per_shard(rb, seam):
+            return fused_view_pitch(
+                jnp.concatenate([rb, seam], axis=0),
+                merged=merged, nyq_b=nyq_b, inv_live=inv_live,
+                inv_nyq=inv_nyq, lag_min=lag_min, lag_max=lag_max,
+                sample_rate=c.sample_rate,
+            )
+
+        axes = ("data", "seq")
+        f0, conf = jax.shard_map(
+            per_shard,
+            mesh=self.mesh,
+            in_specs=(P(axes, None), P(axes, None)),
+            out_specs=(P(axes), P(axes)),
+            check_vma=False,  # pallas_call has no varying-axes rule
+        )(rows_main, seams)
+        return f0[:n], conf[:n]
+
+    def process_long_pitch(
+        self,
+        signal,
+        state: vad_ops.VadState | None = None,
+        fmin: float = 50.0,
+        fmax: float = 400.0,
+        min_confidence: float = 0.3,
+    ):
+        """:meth:`process_long` plus the VAD-gated pitch track in ONE mesh
+        program: ``(block, state, f0, conf)`` with the frame axis sharded
+        over the flattened ("data", "seq") mesh. On the ``long_kernel``
+        route BOTH halves run the fused Pallas kernels per shard under
+        shard_map (features + banded-ACF pitch); otherwise both ride the
+        XLA view path. The gate definition is the shared one
+        (``ops.pitch.pitch_track_signal_gated`` semantics: ungated inner
+        track, one outer traced confidence comparison), so outputs are
+        bit-identical to the two-call construction on the same path
+        (tests/test_parallel.py)."""
+        signal = _as_transfer_dtype(signal)
+        if state is None:
+            state = self.pipe.initial_state()
+        key = ("long_pitch", signal.shape, float(fmin), float(fmax))
+        if key not in self._batch_jit:
+            from ..ops.pitch import pitch_track_signal_gated
+
+            c = self.pipe.cfg
+            length = int(signal.shape[0])
+            n = 1 + (length - c.frame_size) // c.hop_size
+            use_view = (
+                c.frame_size == 2 * c.hop_size
+                and length >= c.frame_size
+                and self.pipe._window_strictly_positive()
+            )
+
+            if use_view and self._long_kernel:
+
+                def impl(sig, st, min_conf):
+                    x = jnp.asarray(sig, jnp.float32)
+                    rows = x[: (n + 1) * c.hop_size].reshape(
+                        n + 1, c.hop_size
+                    )
+                    feats = self._long_kernel_feats(rows, n)
+                    block, new_state = self.pipe._vad_full_length(
+                        feats, st, n
+                    )
+                    f0u, conf = self._long_kernel_pitch(rows, n, fmin, fmax)
+                    gate = (block.vad > 0) & (conf >= min_conf)
+                    f0 = jnp.where(gate, f0u, 0.0).astype(jnp.float32)
+                    return block, new_state, f0, conf
+
+            else:
+                sharding = NamedSharding(self.mesh, P(("data", "seq")))
+
+                def impl(sig, st, min_conf):
+                    sig = jax.lax.with_sharding_constraint(sig, sharding)
+                    block, new_state = (
+                        self.pipe._process_signal_view_impl(sig, st, n)
+                        if use_view
+                        else self.pipe._process_block_impl(
+                            self.pipe._device_stream_frames(sig), st, None
+                        )
+                    )
+                    f0, conf = pitch_track_signal_gated(
+                        sig, block.vad, min_conf,
+                        frame_size=c.frame_size, hop_size=c.hop_size,
+                        sample_rate=c.sample_rate, fmin=fmin, fmax=fmax,
+                        use_kernel=False,
+                    )
+                    return block, new_state, f0, conf
+
+            self._batch_jit[key] = jax.jit(impl)
+        return self._batch_jit[key](
+            signal, state, jnp.float32(min_confidence)
+        )
+
     def process_long(
         self, signal, state: vad_ops.VadState | None = None
     ) -> tuple[FeatureBlock, vad_ops.VadState]:

@@ -490,3 +490,54 @@ def test_long_kernel_gates():
         mesh, FeatureConfig(precision="highest"), long_kernel=True
     )
     assert not bp2._long_kernel
+
+
+def test_process_long_pitch_both_routes():
+    """process_long_pitch: one mesh program for features+VAD+gated pitch.
+    XLA route must be bit-identical to its two-call construction (the
+    CLAUDE.md same-path invariant); the shard_map kernel route must agree
+    with the single-chip fused pitch kernel bit-exactly (per-frame math is
+    grid-blocking-invariant) and keep VAD decisions identical."""
+    import jax.numpy as jnp
+
+    from sspv_tpu.ops.pitch import pitch_track_signal_gated
+
+    rng = np.random.default_rng(23)
+    sig = np.zeros(16000 * 3, dtype=np.float32)
+    sig[8000:24000] = np.sin(
+        2 * np.pi * 180 * np.arange(16000) / 16000
+    ) * 8000
+    sig[30000:40000] = rng.normal(0, 2500, 10000)
+
+    mesh = make_mesh(8)
+    bp_x = BatchPipeline(mesh)
+    block_f, state_f, f0_f, conf_f = bp_x.process_long_pitch(sig)
+
+    # two-call same-path construction: process_long + the shared gate
+    block_2, _ = bp_x.process_long(sig)
+    np.testing.assert_array_equal(
+        np.asarray(block_f.vad), np.asarray(block_2.vad)
+    )
+    f0_2, conf_2 = jax.jit(
+        lambda s, v, mc: pitch_track_signal_gated(s, v, mc, use_kernel=False)
+    )(sig, block_2.vad, jnp.float32(0.3))
+    np.testing.assert_array_equal(np.asarray(f0_f), np.asarray(f0_2))
+    np.testing.assert_array_equal(np.asarray(conf_f), np.asarray(conf_2))
+
+    # kernel route (CPU opt-in, interpret-mode Pallas under shard_map)
+    bp_k = BatchPipeline(mesh, long_kernel=True)
+    block_k, _, f0_k, conf_k = bp_k.process_long_pitch(sig)
+    np.testing.assert_array_equal(
+        np.asarray(block_k.vad), np.asarray(block_f.vad)
+    )
+    # single-chip fused pitch kernel on the same gate: per-frame kernel
+    # math is invariant to the grid/shard split -> bit-identical
+    f0_1, conf_1 = jax.jit(
+        lambda s, v, mc: pitch_track_signal_gated(s, v, mc, use_kernel=True)
+    )(sig, block_k.vad, jnp.float32(0.3))
+    np.testing.assert_array_equal(np.asarray(f0_k), np.asarray(f0_1))
+    np.testing.assert_array_equal(np.asarray(conf_k), np.asarray(conf_1))
+    # voiced frames exist and carry F0 in the band
+    voiced = np.asarray(f0_k)[np.asarray(f0_k) > 0]
+    assert voiced.size > 20
+    assert np.all((voiced >= 50.0) & (voiced <= 400.0))
