@@ -93,8 +93,9 @@ def _emit_failure_record(reason: str, probes: int, budget: float) -> None:
         "last_known_good": {
             "driver_verified_r3": 381372.0,
             "builder_session_r4_best": 775050.0,
-            "builder_session_r4_median": 766552.0,
-            "source": "docs/benchmarks.md, docs/roofline_r4*.jsonl",
+            "builder_session_r5_best": 771452.0,
+            "builder_session_r5_median": 736204.0,
+            "source": "docs/benchmarks.md, docs/bench_r5_builder.json",
         },
     }))
 
