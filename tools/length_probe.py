@@ -39,7 +39,12 @@ def main(argv):
     state0 = pipe.initial_state()
 
     for seconds in lengths:
-        sig = jax.device_put(jnp.asarray(synth_signal(seconds)))
+        # shipped dispatch form (bench.py since r4): the host-formed
+        # (n+1, hop) rows view uploads in the tiled 2-D layout
+        sig_np = synth_signal(seconds)
+        rows = pipe.host_rows_view(sig_np)
+        sig = jax.device_put(jnp.asarray(rows if rows is not None else sig_np))
+        del sig_np
         t0 = time.perf_counter()
         block, _ = pipe.process_signal_device(sig, state0)
         jax.block_until_ready(block)
