@@ -147,11 +147,16 @@ def main() -> None:
 
     from sspv_tpu.ops.pipeline import FeatureConfig, FeaturePipeline
 
-    # 4 h of audio per dispatch: the lax.scan keeps compile cost
-    # length-independent, and the ~5-6 ms fixed per-call cost (tunnel RTT,
-    # launch, output buffers) amortizes — measured +28% throughput over
-    # 3600 s/call (tools/length_probe.py, docs/benchmarks.md).
-    seconds = 14400.0
+    # 16 h of audio per dispatch (r5): the lax.scan keeps compile cost
+    # length-independent and the fixed per-call cost (tunnel RTT, launch,
+    # output buffers) amortizes. The r4 hoist halved the marginal
+    # ms/audio-hour, which re-opened the length trade the r3 probe had
+    # closed: post-hoist, 14,400 s → 771k×, 28,800 s → 1.026M×, 57,600 s →
+    # 1.168M× (tools/length_probe.py, docs/length_probe_r5.jsonl; rows-view
+    # dispatch). 16 h/call costs a 3.7 GB in-flight signal buffer (one,
+    # shared across reps) — comfortable on 16 GB HBM — and ~100 ms
+    # serialized latency, the documented offline-throughput trade.
+    seconds = float(os.environ.get("RTP_BENCH_SECONDS", "57600"))
     sr = 16000
     sig_np = synth_signal(seconds, sr)
 
