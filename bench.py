@@ -92,9 +92,9 @@ def _emit_failure_record(reason: str, probes: int, budget: float) -> None:
         "health_budget_s": budget,
         "last_known_good": {
             "driver_verified_r3": 381372.0,
-            "builder_session_r4_best": 775050.0,
-            "builder_session_r5_best": 771452.0,
-            "builder_session_r5_median": 736204.0,
+            "builder_session_r5_best_57600s": 1097979.0,
+            "builder_session_r5_median_57600s": 1082963.0,
+            "builder_session_r5_best_14400s": 771452.0,
             "source": "docs/benchmarks.md, docs/bench_r5_builder.json",
         },
     }))
