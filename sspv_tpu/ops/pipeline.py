@@ -800,6 +800,7 @@ class FeaturePipeline:
         state: vad_ops.VadState,
         n: int,
         true_n: jnp.ndarray | None = None,
+        force_full_vad: bool = False,
     ):
         """Offline path for frame_size == 2*hop without frame materialization;
         long signals scan over row blocks with one-row overlap. ``true_n``
@@ -812,7 +813,21 @@ class FeaturePipeline:
         program in the tiled 2-D layout, skipping the on-device 1-D→2-D
         relayout copy (~3.7 ms and ~1.8 GB of HBM traffic per 4 h call —
         the #2 op in the r4 device trace, docs/benchmarks.md roofline).
-        Bit-identical: all downstream arithmetic reads only row contents."""
+        Bit-identical: all downstream arithmetic reads only row contents.
+
+        ``force_full_vad``: route the short-signal (n <= SCAN_BLOCK_FRAMES)
+        tail through :meth:`_vad_full_length` (pad the gate vectors to a
+        ``history_len`` multiple, blocked trailing sums, masked tail)
+        instead of the exact-length :meth:`_vad_stage`. Mesh programs MUST
+        set this: the exact-length path's conv trailing-sum fallback
+        (``jnp.convolve``, window ``history_len``) is mis-partitioned by
+        GSPMD when the frame axis is sharded at certain non-multiple frame
+        counts (observed: trailing means inflated ~4x at n=17/99 on an
+        8-way mesh — sharded-vs-unsharded A/B in tests/test_parallel.py::
+        test_long_kernel_edge_sizes), while the blocked two-level-cumsum
+        form partitions correctly at every tested size. Decision-identical
+        to the oracle on both forms (single-chip traces are unchanged:
+        at a 256-multiple n this lowers the very same blocked pass)."""
         global VIEW_TRACE_COUNT
         VIEW_TRACE_COUNT += 1
         c = self.cfg
@@ -826,6 +841,8 @@ class FeaturePipeline:
         b = self.SCAN_BLOCK_FRAMES
         if n <= b:
             feats = self._features_from_rows(rows)
+            if force_full_vad:
+                return self._vad_full_length(feats, state, n, true_n)
             valid = None if true_n is None else jnp.arange(n, dtype=jnp.int32) < true_n
             return self._vad_stage(feats, state, valid)
 

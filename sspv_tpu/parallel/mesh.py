@@ -464,8 +464,12 @@ class BatchPipeline:
 
                 def impl(sig, st, min_conf):
                     sig = jax.lax.with_sharding_constraint(sig, sharding)
+                    # force_full_vad: see process_long — the conv trailing
+                    # -sum fallback is not GSPMD-safe on a sharded frame axis
                     block, new_state = (
-                        self.pipe._process_signal_view_impl(sig, st, n)
+                        self.pipe._process_signal_view_impl(
+                            sig, st, n, force_full_vad=True
+                        )
                         if use_view
                         else self.pipe._process_block_impl(
                             self.pipe._device_stream_frames(sig), st, None
@@ -528,7 +532,12 @@ class BatchPipeline:
 
                 def impl(sig, st):
                     sig = jax.lax.with_sharding_constraint(sig, sharding)
-                    return self.pipe._process_signal_view_impl(sig, st, n)
+                    # force_full_vad: the exact-length conv trailing-sum
+                    # fallback is mis-partitioned by GSPMD at some sharded
+                    # frame counts (see _process_signal_view_impl)
+                    return self.pipe._process_signal_view_impl(
+                        sig, st, n, force_full_vad=True
+                    )
 
             else:
 

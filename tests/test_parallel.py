@@ -541,3 +541,68 @@ def test_process_long_pitch_both_routes():
     voiced = np.asarray(f0_k)[np.asarray(f0_k) > 0]
     assert voiced.size > 20
     assert np.all((voiced >= 50.0) & (voiced <= 400.0))
+
+
+def test_long_kernel_edge_sizes():
+    """Seam/pad correctness of BOTH process_long routes at awkward frame
+    counts: n smaller than one shard's minimum block, n not divisible by
+    the shard count, n exactly divisible. Decisions must match the
+    single-chip pipeline bit-exactly at every size — this is the
+    regression test for the GSPMD conv trailing-sum mis-partitioning
+    (odd small n flipped nearly every decision on the XLA mesh route
+    until it was switched to the padded blocked-VAD tail;
+    pipeline._process_signal_view_impl ``force_full_vad``)."""
+    rng = np.random.default_rng(31)
+    mesh = make_mesh(8)
+    bp_x = BatchPipeline(mesh)
+    bp_k = BatchPipeline(mesh, long_kernel=True)
+    pipe = bp_x.pipe
+    for n_frames in (17, 99, 1024):
+        sig = rng.normal(
+            0, 3000, ((n_frames - 1) * 160 + 320,)
+        ).astype(np.float32)
+        ref, _ = pipe.process_signal(sig)
+        bx, _ = bp_x.process_long(sig)
+        bk, _ = bp_k.process_long(sig)
+        assert np.asarray(bk.energy).shape == (n_frames,)
+        for name, blk in (("xla", bx), ("kernel", bk)):
+            np.testing.assert_array_equal(
+                np.asarray(blk.vad), np.asarray(ref.vad)[:n_frames],
+                err_msg=f"{name} n={n_frames}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(blk.vad_adaptive),
+                np.asarray(ref.vad_adaptive)[:n_frames],
+                err_msg=f"{name} adaptive n={n_frames}",
+            )
+        a = np.asarray(bx.mfcc, np.float64)
+        b = np.asarray(bk.mfcc, np.float64)
+        assert np.mean((a - b) ** 2) / max(np.mean(a**2), 1e-12) < 1e-8
+
+
+def test_long_pitch_edge_sizes():
+    """process_long_pitch at an odd, non-shard-divisible frame count: VAD
+    decisions (and therefore the pitch gate) must match single-chip on
+    both routes — same GSPMD conv regression class as
+    test_long_kernel_edge_sizes."""
+    rng = np.random.default_rng(17)
+    mesh = make_mesh(8)
+    bp_x = BatchPipeline(mesh)
+    bp_k = BatchPipeline(mesh, long_kernel=True)
+    pipe = bp_x.pipe
+    n_frames = 99
+    t = np.arange((n_frames - 1) * 160 + 320, dtype=np.float32) / 16000.0
+    sig = (
+        9000.0 * np.sin(2 * np.pi * 120.0 * t)
+        + rng.normal(0, 300, t.shape)
+    ).astype(np.float32)
+    ref, _ = pipe.process_signal(sig)
+    for name, bp in (("xla", bp_x), ("kernel", bp_k)):
+        blk, _, f0, conf = bp.process_long_pitch(sig)
+        np.testing.assert_array_equal(
+            np.asarray(blk.vad), np.asarray(ref.vad)[:n_frames],
+            err_msg=name,
+        )
+        voiced = np.asarray(f0)[np.asarray(f0) > 0]
+        assert voiced.size > 20, name
+        assert np.all(np.abs(voiced - 120.0) < 12.0), name
