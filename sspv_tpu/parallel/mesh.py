@@ -466,15 +466,18 @@ class BatchPipeline:
                     sig = jax.lax.with_sharding_constraint(sig, sharding)
                     # force_full_vad: see process_long — the conv trailing
                     # -sum fallback is not GSPMD-safe on a sharded frame axis
-                    block, new_state = (
-                        self.pipe._process_signal_view_impl(
-                            sig, st, n, force_full_vad=True
+                    if use_view:
+                        block, new_state = (
+                            self.pipe._process_signal_view_impl(
+                                sig, st, n, force_full_vad=True
+                            )
                         )
-                        if use_view
-                        else self.pipe._process_block_impl(
-                            self.pipe._device_stream_frames(sig), st, None
+                    else:
+                        frames = self.pipe._device_stream_frames(sig)
+                        block, new_state = self.pipe._vad_full_length(
+                            self.pipe._features(frames), st,
+                            int(frames.shape[0]),
                         )
-                    )
                     f0, conf = pitch_track_signal_gated(
                         sig, block.vad, min_conf,
                         frame_size=c.frame_size, hop_size=c.hop_size,
@@ -547,7 +550,12 @@ class BatchPipeline:
                         frames,
                         NamedSharding(self.mesh, P(("data", "seq"), None)),
                     )
-                    return self.pipe._process_block_impl(frames, st, None)
+                    # same GSPMD conv-fallback hazard as the view route:
+                    # run the padded blocked VAD tail, not _vad_stage
+                    feats = self.pipe._features(frames)
+                    return self.pipe._vad_full_length(
+                        feats, st, int(frames.shape[0])
+                    )
 
             self._batch_jit[key] = jax.jit(impl)
         return self._batch_jit[key](signal, state)

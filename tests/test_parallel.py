@@ -580,6 +580,34 @@ def test_long_kernel_edge_sizes():
         assert np.mean((a - b) ** 2) / max(np.mean(a**2), 1e-12) < 1e-8
 
 
+def test_long_nonview_edge_sizes():
+    """The non-view mesh fallback (frame != 2*hop) at odd, non-shard
+    -divisible frame counts: decisions must match the single-chip frames
+    path. Regression for the same GSPMD conv-fallback hazard as
+    test_long_kernel_edge_sizes, on the _process_block_impl-style route
+    (mesh now runs the padded blocked VAD tail there too)."""
+    rng = np.random.default_rng(5)
+    c = FeatureConfig(frame_size=400, hop_size=160)
+    mesh = make_mesh(8)
+    bp = BatchPipeline(mesh, c)
+    pipe = FeaturePipeline(c)
+    for n_frames in (17, 99):
+        sig = rng.normal(
+            0, 3000, ((n_frames - 1) * 160 + 400,)
+        ).astype(np.float32)
+        ref, _ = pipe.process_signal(sig)
+        blk, _ = bp.process_long(sig)
+        np.testing.assert_array_equal(
+            np.asarray(blk.vad), np.asarray(ref.vad)[:n_frames],
+            err_msg=str(n_frames),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(blk.vad_adaptive),
+            np.asarray(ref.vad_adaptive)[:n_frames],
+            err_msg=f"adaptive {n_frames}",
+        )
+
+
 def test_long_pitch_edge_sizes():
     """process_long_pitch at an odd, non-shard-divisible frame count: VAD
     decisions (and therefore the pitch gate) must match single-chip on
