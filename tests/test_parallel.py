@@ -4,6 +4,7 @@ paths must agree with the single-device pipeline exactly."""
 
 import numpy as np
 import jax
+from jax.sharding import Mesh
 
 from sspv_tpu.ops.pipeline import FeaturePipeline, FeatureConfig
 from sspv_tpu.parallel import make_mesh, BatchPipeline
@@ -606,6 +607,32 @@ def test_long_nonview_edge_sizes():
             np.asarray(ref.vad_adaptive)[:n_frames],
             err_msg=f"adaptive {n_frames}",
         )
+
+
+def test_batch_seq8_edge_sizes():
+    """process_batch on a (1, 8) mesh — the frame axis fully 8-way sharded,
+    the geometry that exposed the GSPMD conv mis-partitioning on the long
+    route. The batched (B, F) conv partitions correctly (different
+    partitioner path than the rank-1 case); pin that so a regression in
+    either XLA or our layout shows up here and not in production."""
+    rng = np.random.default_rng(7)
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(1, 8), ("data", "seq")
+    )
+    bp = BatchPipeline(mesh)
+    pipe = bp.pipe
+    for n_frames in (17, 99):
+        sigs = rng.normal(
+            0, 3000, (2, (n_frames - 1) * 160 + 320)
+        ).astype(np.float32)
+        out = bp.process_batch(sigs)
+        blk = out[0] if isinstance(out, tuple) else out
+        for i in range(2):
+            ref, _ = pipe.process_signal(sigs[i])
+            np.testing.assert_array_equal(
+                np.asarray(blk.vad[i]), np.asarray(ref.vad),
+                err_msg=f"signal {i} n={n_frames}",
+            )
 
 
 def test_long_pitch_edge_sizes():
