@@ -75,9 +75,33 @@ def main(argv) -> int:
 
     enable_persistent_cache()
     Config.load_from_env()
-    tracemalloc.start()
     rt = AudioRuntime(audio_source=LoopingPacedSource(Config.SAMPLE_RATE))
     rt.start()
+    # Warm BEFORE tracemalloc and before the sampling clock: the engine's
+    # first dispatch may cold-compile through the remote service (minutes),
+    # and tracemalloc multiplies trace/lowering cost — starting the budget
+    # here made every r5 attempt time out inside its own warm-up. Wait for
+    # steady dispatches first; the slope fit only needs the steady region.
+    warm_t0 = time.time()
+    while rt.dispatch_count < 5 and time.time() - warm_t0 < 1500:
+        if rt.last_error is not None:
+            print(json.dumps({"warmup_error": rt.last_error}), flush=True)
+            rt.stop()
+            return 1
+        time.sleep(5)
+    print(
+        json.dumps(
+            {
+                "warmed_in_s": round(time.time() - warm_t0, 1),
+                "calls_at_warm": rt.dispatch_count,
+            }
+        ),
+        flush=True,
+    )
+    if rt.dispatch_count == 0:
+        rt.stop()
+        return 1
+    tracemalloc.start()
     t0 = time.time()
     rows = []
     try:
